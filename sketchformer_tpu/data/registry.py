@@ -1,0 +1,176 @@
+"""Registered dataloaders: sharded-npz streams and synthetic generation.
+
+Capability parity with the reference's dataloader registry + distributed
+stroke-3 loader (reference: dataloaders/__init__.py name->class lookup;
+dataloaders/distributed_stroke3.py — shard streaming with shard shuffling,
+per-batch tokenize/pad, validation-set access, class-label metadata).
+
+The ``synthetic`` loader exists because this environment has no network (no
+real QuickDraw); it generates class-structured sketches on the fly so every
+config is runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from sketchformer_tpu.data import synthetic
+from sketchformer_tpu.data.pipeline import (
+    DEFAULT_BUCKETS,
+    BucketBatcher,
+    iterate_batches,
+)
+from sketchformer_tpu.data.shards import ShardedDataset
+from sketchformer_tpu.data.tokenizer import GridTokenizer, build_tokenizer
+from sketchformer_tpu.utils.registry import Registry
+
+dataloaders: Registry = Registry("dataloader")
+
+
+def get_dataloader_by_name(name: str):
+    return dataloaders.get(name)
+
+
+class BaseLoader:
+    """Common interface every registered loader provides.
+
+    ``batch_iterator(split)`` yields model-ready batch dicts with static
+    bucketed shapes; ``get_validation_set(n)`` returns a bounded list of
+    batches reused across eval passes.
+    """
+
+    num_classes: int
+    class_names: List[str]
+    scale: float
+
+    def __init__(
+        self,
+        token_mode: bool = True,
+        batch_size: int = 64,
+        buckets=DEFAULT_BUCKETS,
+        tokenizer=None,
+        seed: int = 0,
+    ) -> None:
+        self.token_mode = token_mode
+        self.batch_size = batch_size
+        self.buckets = tuple(buckets)
+        self.tokenizer = tokenizer or GridTokenizer()
+        self.seed = seed
+        self._val_cache: Optional[List[Dict[str, np.ndarray]]] = None
+
+    # subclasses implement:
+    def iter_pairs(self, split: str, epoch: int = 0):
+        raise NotImplementedError
+
+    def _batcher(self) -> BucketBatcher:
+        return BucketBatcher(
+            batch_size=self.batch_size,
+            buckets=self.buckets,
+            token_mode=self.token_mode,
+            tokenizer=self.tokenizer,
+            scale=self.scale,
+        )
+
+    def batch_iterator(
+        self, split: str = "train", epoch: int = 0, drain: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        yield from iterate_batches(
+            self.iter_pairs(split, epoch), self._batcher(), drain=drain
+        )
+
+    def get_validation_set(
+        self, max_batches: int = 8
+    ) -> List[Dict[str, np.ndarray]]:
+        if self._val_cache is None:
+            out = []
+            for batch in self.batch_iterator("valid"):
+                out.append(batch)
+                if len(out) >= max_batches:
+                    break
+            self._val_cache = out
+        return self._val_cache
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tokenizer.vocab_size
+
+
+@dataloaders.register("distributed_stroke3")
+class DistributedStroke3Loader(BaseLoader):
+    """Streams class-mixed npz shards written by ``prep_data``."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        token_mode: bool = True,
+        batch_size: int = 64,
+        buckets=DEFAULT_BUCKETS,
+        tokenizer_kind: str = "grid",
+        grid_resolution: int = 100,
+        dictionary_path: Optional[str] = None,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = ShardedDataset(data_dir)
+        tokenizer = build_tokenizer(
+            tokenizer_kind,
+            resolution=grid_resolution,
+            dictionary_path=dictionary_path,
+        )
+        super().__init__(
+            token_mode=token_mode,
+            batch_size=batch_size,
+            buckets=buckets,
+            tokenizer=tokenizer,
+            seed=seed,
+        )
+        self.num_classes = self.dataset.num_classes
+        self.class_names = self.dataset.class_names
+        self.scale = self.dataset.scale
+
+    def iter_pairs(self, split: str, epoch: int = 0):
+        return self.dataset.iter_sketches(
+            split, shuffle_shards=(split == "train"), seed=self.seed + epoch
+        )
+
+
+@dataloaders.register("synthetic")
+class SyntheticLoader(BaseLoader):
+    """On-the-fly class-structured synthetic sketches (no disk, no network)."""
+
+    def __init__(
+        self,
+        num_classes: int = 16,
+        sketches_per_epoch: int = 2048,
+        token_mode: bool = True,
+        batch_size: int = 64,
+        buckets=DEFAULT_BUCKETS,
+        tokenizer=None,
+        seed: int = 0,
+    ) -> None:
+        super().__init__(
+            token_mode=token_mode,
+            batch_size=batch_size,
+            buckets=buckets,
+            tokenizer=tokenizer,
+            seed=seed,
+        )
+        self.num_classes = num_classes
+        self.class_names = [f"class_{i:03d}" for i in range(num_classes)]
+        self.sketches_per_epoch = sketches_per_epoch
+        # sigma from a probe sample, mirroring prep-time computation
+        probe, _ = synthetic.generate_dataset(num_classes, 4, seed=seed)
+        from sketchformer_tpu.data.stroke3 import compute_deviation
+
+        self.scale = compute_deviation(probe)
+
+    def iter_pairs(self, split: str, epoch: int = 0):
+        salt = {"train": 0, "valid": 7_777_777, "test": 15_555_555}[split]
+        rng = np.random.default_rng(self.seed + salt + epoch)
+        count = self.sketches_per_epoch if split == "train" else max(
+            self.batch_size * 4, self.sketches_per_epoch // 8
+        )
+        for _ in range(count):
+            c = int(rng.integers(self.num_classes))
+            yield synthetic.generate_sketch(c, rng), c

@@ -1,0 +1,15 @@
+"""Test configuration: run everything on a simulated 8-device CPU backend.
+
+Mirrors SURVEY.md §4 item 4: `--xla_force_host_platform_device_count=8`
+is the standard JAX substitute for a fake multi-device backend, letting the
+mesh/pjit tests validate sharding without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,102 @@
+import numpy as np
+
+from sketchformer_tpu.data.pipeline import (
+    BucketBatcher,
+    bucket_for_length,
+    iterate_batches,
+    make_batch_cont,
+    make_batch_tok,
+    PEN_END,
+)
+from sketchformer_tpu.data.registry import SyntheticLoader, get_dataloader_by_name
+from sketchformer_tpu.data.shards import ShardedDataset, write_shards
+from sketchformer_tpu.data.tokenizer import GridTokenizer, PAD_ID, SOS_ID
+from sketchformer_tpu.data import synthetic
+
+
+def test_bucket_for_length():
+    buckets = (32, 64, 128)
+    assert bucket_for_length(1, buckets) == 32
+    assert bucket_for_length(32, buckets) == 32
+    assert bucket_for_length(33, buckets) == 64
+    assert bucket_for_length(999, buckets) == 128
+
+
+def test_make_batch_tok_shift():
+    tok = GridTokenizer(resolution=16)
+    sketches, labels = synthetic.generate_dataset(2, 2, seed=0)
+    b = make_batch_tok(tok, sketches, labels, max_len=64)
+    assert b["enc"].shape == (4, 64)
+    assert (b["dec_in"][:, 0] == SOS_ID).all()
+    np.testing.assert_array_equal(b["dec_in"][:, 1:], b["dec_tgt"][:, :-1])
+
+
+def test_make_batch_cont_teacher_forcing():
+    sketches, labels = synthetic.generate_dataset(2, 2, seed=0)
+    b = make_batch_cont(sketches, labels, max_len=128, scale=30.0)
+    B, L = b["tgt_pen"].shape
+    assert b["enc"].shape == (B, L, 3)
+    assert b["dec_in"].shape == (B, L, 5)
+    # dec_in row t+1 carries target row t's (dx, dy)
+    np.testing.assert_allclose(b["dec_in"][:, 1:, :2], b["tgt_xy"][:, :-1])
+    # each sequence has exactly one END target inside its mask
+    for i in range(B):
+        m = b["dec_mask"][i].astype(bool)
+        pens = b["tgt_pen"][i][m]
+        assert (pens == PEN_END).sum() == 1
+        assert pens[-1] == PEN_END
+
+
+def test_bucket_batcher_static_shapes():
+    tok = GridTokenizer(resolution=16)
+    batcher = BucketBatcher(
+        batch_size=8, buckets=(64, 128), token_mode=True, tokenizer=tok
+    )
+    sketches, labels = synthetic.generate_dataset(4, 32, seed=1)
+    shapes = set()
+    n_batches = 0
+    for batch in iterate_batches(zip(sketches, labels), batcher):
+        shapes.add(batch["enc"].shape)
+        assert batch["enc"].shape[0] == 8
+        n_batches += 1
+    assert n_batches >= 128 // 8  # everything emitted (incl. drain)
+    assert all(s[1] in (64, 128) for s in shapes)
+
+
+def test_shards_roundtrip(tmp_path):
+    sketches, labels = synthetic.generate_dataset(4, 16, seed=0)
+    names = [f"c{i}" for i in range(4)]
+    write_shards(
+        str(tmp_path), sketches, labels, names, shard_size=16, seed=0
+    )
+    ds = ShardedDataset(str(tmp_path))
+    assert ds.num_classes == 4
+    assert ds.scale > 0
+    seen = sum(1 for _ in ds.iter_sketches("train"))
+    seen += sum(1 for _ in ds.iter_sketches("valid"))
+    seen += sum(1 for _ in ds.iter_sketches("test"))
+    assert seen == 64
+    # sketch content survives byte-exact
+    sk, lb = next(ds.iter_sketches("train"))
+    assert sk.shape[1] == 3 and 0 <= lb < 4
+
+
+def test_shard_iteration_deterministic(tmp_path):
+    sketches, labels = synthetic.generate_dataset(3, 20, seed=0)
+    write_shards(str(tmp_path), sketches, labels, ["a", "b", "c"], shard_size=8)
+    ds = ShardedDataset(str(tmp_path))
+    run1 = [lb for _, lb in ds.iter_sketches("train", shuffle_shards=True, seed=3)]
+    run2 = [lb for _, lb in ds.iter_sketches("train", shuffle_shards=True, seed=3)]
+    assert run1 == run2
+
+
+def test_synthetic_loader_interface():
+    loader = SyntheticLoader(
+        num_classes=4, sketches_per_epoch=64, batch_size=8, buckets=(64, 128)
+    )
+    batches = list(loader.batch_iterator("train"))
+    assert len(batches) >= 8
+    val = loader.get_validation_set(max_batches=2)
+    assert len(val) == 2
+    assert loader.get_validation_set() is val  # cached
+    assert get_dataloader_by_name("synthetic") is SyntheticLoader
