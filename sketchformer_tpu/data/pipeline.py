@@ -25,6 +25,7 @@ Token-mode batch dict::
 Continuous-mode batch dict::
 
     enc      float32 (B, L, 3)  normalized stroke-3, zero-padded
+    enc_mask float32 (B, L)     1 on real encoder rows
     dec_in   float32 (B, L, 5)  stroke-5 shifted right with SOS row
     tgt_xy   float32 (B, L, 2)
     tgt_pen  int32   (B, L)     0=down, 1=lift, 2=end-of-sketch
@@ -86,6 +87,7 @@ def make_batch_cont(
 ) -> Dict[str, np.ndarray]:
     B = len(sketches)
     enc = np.zeros((B, max_len, 3), dtype=np.float32)
+    enc_mask = np.zeros((B, max_len), dtype=np.float32)
     tgt_xy = np.zeros((B, max_len, 2), dtype=np.float32)
     tgt_pen = np.full((B, max_len), PEN_END, dtype=np.int32)
     dec_mask = np.zeros((B, max_len), dtype=np.float32)
@@ -93,6 +95,7 @@ def make_batch_cont(
         s = stroke3.normalize(np.asarray(s, dtype=np.float32), scale)
         n = min(len(s), max_len - 1)  # reserve one row for the end marker
         enc[i, :n] = s[:n]
+        enc_mask[i, :n] = 1.0
         tgt_xy[i, :n] = s[:n, :2]
         tgt_pen[i, :n] = (s[:n, 2] >= 0.5).astype(np.int32)  # 0 down / 1 lift
         # row n is the PEN_END target (tgt_xy stays 0)
@@ -106,6 +109,7 @@ def make_batch_cont(
     dec_in[:, 1:, 2:] = pen_oh
     return {
         "enc": enc,
+        "enc_mask": enc_mask,
         "dec_in": dec_in,
         "tgt_xy": tgt_xy,
         "tgt_pen": tgt_pen,

@@ -1,0 +1,152 @@
+"""Multi-head attention with a pluggable kernel backend and KV-cache decode.
+
+Capability parity with the reference's attention stack (reference: models/
+transformer layer module — scaled dot-product attention + MultiHeadAttention
+with padding and look-ahead masks). Re-designed TPU-first:
+
+- attention math dispatches through :func:`dot_product_attention` so the
+  training path can switch between the XLA einsum formulation and the fused
+  Pallas flash kernel (``impl='pallas'``) without touching model code;
+- softmax always accumulates in f32 even when activations are bf16;
+- decode mode keeps a static-shape KV cache (linen ``cache`` collection)
+  written with ``lax.dynamic_update_slice`` — the reference re-runs the full
+  decoder over the growing prefix each AR step (no cache), which is the main
+  decode inefficiency the north star calls out.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e9
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Attention over (B, T, H, Dh) tensors; mask is boolean, True=attend.
+
+    ``mask`` broadcasts against (B, H, Tq, Tk).
+    """
+    if impl == "pallas":
+        from sketchformer_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask)
+    if impl != "xla":
+        raise ValueError(f"unknown attention impl {impl!r}")
+    depth = q.shape[-1]
+    scale = jnp.asarray(1.0 / jnp.sqrt(depth), q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    logits = logits.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with separate q and kv inputs (self- or cross-attention)."""
+
+    num_heads: int
+    d_model: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        q_inp: jnp.ndarray,
+        kv_inp: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        decode: bool = False,
+    ) -> jnp.ndarray:
+        if self.d_model % self.num_heads:
+            raise ValueError("d_model must divide num_heads")
+        head_dim = self.d_model // self.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            features=(self.num_heads, head_dim),
+            dtype=self.dtype,
+            name=name,
+        )
+        q = dense("query")(q_inp)
+        k = dense("key")(kv_inp)
+        v = dense("value")(kv_inp)
+
+        if decode:
+            # Static-shape KV cache: kv_inp carries ONE new position per call.
+            is_init = not self.has_variable("cache", "cached_key")
+            max_len = q_inp.shape[-2] if is_init else None
+            cached_key = self.variable(
+                "cache", "cached_key",
+                lambda: jnp.zeros((q_inp.shape[0], q_inp.shape[1],
+                                   self.num_heads, head_dim), self.dtype))
+            cached_value = self.variable(
+                "cache", "cached_value",
+                lambda: jnp.zeros_like(cached_key.value))
+            cache_index = self.variable(
+                "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
+            if not is_init:
+                idx = cache_index.value
+                cached_key.value = jax.lax.dynamic_update_slice(
+                    cached_key.value, k, (0, idx, 0, 0))
+                cached_value.value = jax.lax.dynamic_update_slice(
+                    cached_value.value, v, (0, idx, 0, 0))
+                cache_index.value = idx + k.shape[1]
+                k = cached_key.value
+                v = cached_value.value
+                T = k.shape[1]
+                # only attend to filled cache slots
+                filled = jnp.arange(T) < cache_index.value
+                valid = filled[None, None, None, :]
+                mask = valid if mask is None else jnp.logical_and(mask, valid)
+
+        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+        out = nn.DenseGeneral(
+            features=self.d_model,
+            axis=(-2, -1),
+            dtype=self.dtype,
+            name="out",
+        )(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# mask builders (reference: padding mask + look-ahead mask helpers)
+# ---------------------------------------------------------------------------
+
+
+def padding_mask_from_ids(ids: jnp.ndarray, pad_id: int = 0) -> jnp.ndarray:
+    """(B, T) int tokens -> (B, 1, 1, T) boolean key mask, True=attend."""
+    return (ids != pad_id)[:, None, None, :]
+
+
+def padding_mask_from_float(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) float/bool validity -> (B, 1, 1, T) boolean key mask."""
+    return (mask > 0.5)[:, None, None, :]
+
+
+def causal_mask(length: int) -> jnp.ndarray:
+    """(1, 1, T, T) boolean look-ahead mask, True=attend."""
+    return jnp.tril(jnp.ones((length, length), bool))[None, None]
+
+
+def combine_masks(*masks: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    present = [m for m in masks if m is not None]
+    if not present:
+        return None
+    out = present[0]
+    for m in present[1:]:
+        out = jnp.logical_and(out, m)
+    return out

@@ -1,0 +1,77 @@
+"""Self-attention bottleneck: variable-length encoding -> fixed-length z.
+
+The paper's novel element (arXiv:2002.10381): encoder outputs are pooled
+into a fixed-length embedding that feeds both the classifier and the
+decoder, which reconstructs the sketch conditioned ONLY on the bottleneck.
+The paper compares bottleneck strategies; all three are implemented here
+(reference: models/sketchformer.py bottleneck options / "lowerdim"):
+
+- ``attn``   learned-query attention pooling (paper's best; default)
+- ``mean``   masked mean pooling + projection
+- ``direct`` no bottleneck — decoder cross-attends the full encoder memory
+             (variable-length ablation); z for the classifier is still a
+             pooled projection so the embedding API stays uniform
+
+``__call__`` returns ``(z, memory, memory_mask)`` where ``memory`` is what
+the decoder cross-attends. For attn/mean the memory is RE-EXPANDED from z
+(never from the encoder sequence), enforcing the information bottleneck.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sketchformer_tpu.models.attention import MultiHeadAttention
+
+
+class Bottleneck(nn.Module):
+    mode: str = "attn"
+    lowerdim: int = 256
+    num_queries: int = 4
+    d_model: int = 256
+    num_heads: int = 8
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        enc_out: jnp.ndarray,                 # (B, T, D)
+        enc_key_mask: Optional[jnp.ndarray],  # (B, 1, 1, T) bool or None
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        B = enc_out.shape[0]
+        if self.mode == "attn":
+            queries = self.param(
+                "queries",
+                nn.initializers.normal(stddev=0.02),
+                (self.num_queries, self.d_model),
+            ).astype(self.dtype)
+            q = jnp.broadcast_to(queries, (B, self.num_queries, self.d_model))
+            pooled = MultiHeadAttention(
+                self.num_heads, self.d_model, self.dropout, self.dtype,
+                name="pool_attn",
+            )(q, enc_out, mask=enc_key_mask, deterministic=deterministic)
+            flat = pooled.reshape(B, self.num_queries * self.d_model)
+            z = nn.Dense(self.lowerdim, dtype=self.dtype, name="to_z")(flat)
+        elif self.mode in ("mean", "direct"):
+            if enc_key_mask is not None:
+                m = enc_key_mask[:, 0, 0, :, None].astype(enc_out.dtype)
+                denom = jnp.maximum(m.sum(axis=1), 1.0)
+                pooled = (enc_out * m).sum(axis=1) / denom
+            else:
+                pooled = enc_out.mean(axis=1)
+            z = nn.Dense(self.lowerdim, dtype=self.dtype, name="to_z")(pooled)
+        else:
+            raise ValueError(f"unknown bottleneck mode {self.mode!r}")
+
+        if self.mode == "direct":
+            return z, enc_out, enc_key_mask
+
+        memory = nn.Dense(
+            self.num_queries * self.d_model, dtype=self.dtype, name="expand"
+        )(z).reshape(B, self.num_queries, self.d_model)
+        return z, memory, None  # all memory slots valid

@@ -1,0 +1,217 @@
+"""The Sketchformer model: encoder -> self-attn bottleneck -> decoder + heads.
+
+Capability parity with the reference model (reference:
+models/sketchformer.py — ``Transformer(BaseModel)``: token or continuous
+input embedding, N-layer encoder, self-attention bottleneck producing the
+fixed-length embedding ("lowerdim"), N-layer decoder cross-attending the
+bottleneck, output head = dictionary softmax (tok) or MDN/GMM (cont), plus a
+classifier MLP on the bottleneck; ``encode()`` for embedding extraction and
+autoregressive ``predict`` for reconstruction).
+
+TPU-first design points:
+- one flax module with three entry methods (``__call__`` teacher-forced
+  train path, ``encode`` embedding extraction, ``decode_tokens`` single
+  cached AR step) sharing parameters;
+- trunk runs in a configurable compute dtype (bf16 on TPU -> MXU), heads and
+  losses in f32;
+- the AR path keeps a static-shape KV cache (see models/attention.py) — the
+  reference re-runs the full decoder per step;
+- attention backend switchable to the fused Pallas kernel via
+  ``attn_impl='pallas'``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sketchformer_tpu.models.attention import (
+    causal_mask,
+    combine_masks,
+    padding_mask_from_float,
+    padding_mask_from_ids,
+)
+from sketchformer_tpu.models.bottleneck import Bottleneck
+from sketchformer_tpu.models.embeddings import ContinuousEmbed, TokenEmbed
+from sketchformer_tpu.models.heads import ClassifierHead, MDNHead, TokenHead
+from sketchformer_tpu.models.transformer import Decoder, Encoder
+from sketchformer_tpu.utils.hparams import HParams
+
+
+@dataclasses.dataclass(frozen=True)
+class SketchformerConfig:
+    """Static model configuration (hashable; safe to close over in jit)."""
+
+    vocab_size: int = 10004        # grid 100x100 + specials
+    num_classes: int = 345
+    max_len: int = 256
+    d_model: int = 256
+    num_layers: int = 8
+    num_heads: int = 8
+    dff: int = 512
+    dropout: float = 0.1
+    lowerdim: int = 256
+    bottleneck_mode: str = "attn"  # attn | mean | direct
+    num_queries: int = 4
+    use_continuous: bool = False
+    num_mixtures: int = 20
+    attn_impl: str = "xla"         # xla | pallas
+    norm_first: bool = True
+    dtype: str = "float32"         # trunk compute dtype; bfloat16 on TPU
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.dtype)
+
+    @classmethod
+    def default_hparams(cls) -> HParams:
+        """Reference-style ``default_hparams()`` for k=v CLI overrides."""
+        return HParams(**dataclasses.asdict(cls()))
+
+    @classmethod
+    def from_hparams(cls, hps: HParams) -> "SketchformerConfig":
+        return cls(**hps.values())
+
+
+class Sketchformer(nn.Module):
+    config: SketchformerConfig
+
+    def setup(self) -> None:
+        cfg = self.config
+        dt = cfg.compute_dtype
+        if cfg.use_continuous:
+            self.enc_embed = ContinuousEmbed(cfg.d_model, cfg.max_len, dt)
+            self.dec_embed = ContinuousEmbed(cfg.d_model, cfg.max_len, dt)
+            self.out_head = MDNHead(cfg.num_mixtures, dt)
+        else:
+            self.enc_embed = TokenEmbed(cfg.vocab_size, cfg.d_model, cfg.max_len, dt)
+            self.dec_embed = TokenEmbed(cfg.vocab_size, cfg.d_model, cfg.max_len, dt)
+            self.out_head = TokenHead(cfg.vocab_size, dt)
+        self.encoder = Encoder(
+            cfg.num_layers, cfg.num_heads, cfg.d_model, cfg.dff,
+            cfg.dropout, dt, cfg.attn_impl, cfg.norm_first)
+        self.bottleneck = Bottleneck(
+            cfg.bottleneck_mode, cfg.lowerdim, cfg.num_queries,
+            cfg.d_model, cfg.num_heads, cfg.dropout, dt)
+        self.decoder = Decoder(
+            cfg.num_layers, cfg.num_heads, cfg.d_model, cfg.dff,
+            cfg.dropout, dt, cfg.attn_impl, cfg.norm_first)
+        self.classifier = ClassifierHead(
+            cfg.num_classes, cfg.lowerdim, cfg.dropout, dt)
+
+    # -- mask helpers -----------------------------------------------------
+    def _enc_key_mask(self, enc, enc_mask):
+        if self.config.use_continuous:
+            return None if enc_mask is None else padding_mask_from_float(enc_mask)
+        return padding_mask_from_ids(enc)
+
+    # -- encoder side -----------------------------------------------------
+    def encode(
+        self,
+        enc: jnp.ndarray,
+        enc_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        """Sketch batch -> (z, memory, memory_mask); z is the embedding."""
+        cfg = self.config
+        key_mask = self._enc_key_mask(enc, enc_mask)
+        if cfg.use_continuous:
+            x = self.enc_embed(enc.astype(cfg.compute_dtype))
+        else:
+            x = self.enc_embed(enc)
+        enc_out = self.encoder(x, mask=key_mask, deterministic=deterministic)
+        return self.bottleneck(enc_out, key_mask, deterministic=deterministic)
+
+    def embed(self, enc, enc_mask=None, deterministic: bool = True):
+        """Embedding-extraction entry point (reference ``encode()`` API)."""
+        z, _, _ = self.encode(enc, enc_mask, deterministic)
+        return z.astype(jnp.float32)
+
+    # -- teacher-forced training path -------------------------------------
+    def __call__(
+        self,
+        enc: jnp.ndarray,
+        dec_in: jnp.ndarray,
+        enc_mask: Optional[jnp.ndarray] = None,
+        dec_key_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        z, memory, memory_mask = self.encode(enc, enc_mask, deterministic)
+        T = dec_in.shape[1]
+        self_mask = causal_mask(T)
+        if cfg.use_continuous:
+            if dec_key_mask is not None:
+                self_mask = combine_masks(
+                    self_mask, padding_mask_from_float(dec_key_mask))
+            x = self.dec_embed(dec_in.astype(cfg.compute_dtype))
+        else:
+            self_mask = combine_masks(self_mask, padding_mask_from_ids(dec_in))
+            x = self.dec_embed(dec_in)
+        dec_out = self.decoder(
+            x, memory, self_mask=self_mask, cross_mask=memory_mask,
+            deterministic=deterministic)
+        return {
+            "recon": self.out_head(dec_out),
+            "cls": self.classifier(z, deterministic=deterministic),
+            "embedding": z.astype(jnp.float32),
+        }
+
+    # -- cached AR decode step ---------------------------------------------
+    def decode_step(
+        self,
+        dec_in_t: jnp.ndarray,   # tok: (B, 1) int32 | cont: (B, 1, 5) f32
+        memory: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+        t: jnp.ndarray,          # scalar int32 position
+    ) -> jnp.ndarray:
+        """One AR step with KV cache (mutable 'cache' collection).
+
+        Returns head output for the single new position, (B, 1, ...).
+        Position encoding is indexed dynamically at ``t``.
+        """
+        cfg = self.config
+        if cfg.use_continuous:
+            x = self.dec_embed(dec_in_t.astype(cfg.compute_dtype), pos=t)
+        else:
+            x = self.dec_embed(dec_in_t, pos=t)
+        dec_out = self.decoder(
+            x, memory, self_mask=None, cross_mask=memory_mask,
+            deterministic=True, decode=True)
+        return self.out_head(dec_out)
+
+    def init_cache(self, batch_size: int, memory: jnp.ndarray,
+                   memory_mask: Optional[jnp.ndarray]):
+        """Build zero-filled cache variables via a dummy full-length pass."""
+        cfg = self.config
+        if cfg.use_continuous:
+            dummy = jnp.zeros((batch_size, cfg.max_len, 5), jnp.float32)
+            x = self.dec_embed(dummy.astype(cfg.compute_dtype))
+        else:
+            dummy = jnp.zeros((batch_size, cfg.max_len), jnp.int32)
+            x = self.dec_embed(dummy)
+        self.decoder(x, memory, self_mask=None, cross_mask=memory_mask,
+                     deterministic=True, decode=True)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+from sketchformer_tpu.models.registry import models  # noqa: E402
+
+
+@models.register("sketchformer")
+def build_sketchformer(**overrides) -> Sketchformer:
+    cfg = SketchformerConfig(**overrides)
+    return Sketchformer(cfg)
+
+
+@models.register("sketchformer-cont")
+def build_sketchformer_cont(**overrides) -> Sketchformer:
+    overrides.setdefault("use_continuous", True)
+    cfg = SketchformerConfig(**overrides)
+    return Sketchformer(cfg)

@@ -1,0 +1,156 @@
+"""Transformer encoder / decoder stacks.
+
+Capability parity with the reference's layer definitions (reference: models/
+transformer layer module — EncoderLayer = MHA(self) + pointwise FFN,
+DecoderLayer = masked MHA(self) + cross-MHA + FFN, stacked N times with
+residuals + LayerNorm and dropout).
+
+TPU-first deltas from the reference design:
+- pre-LayerNorm by default (``norm_first=True``): stabler at depth and lets
+  XLA fuse the norm into the surrounding elementwise chain; the reference's
+  post-LN ordering is kept available for fidelity runs;
+- the layer loop is ``nn.scan``-free (N is small, 4-8) so XLA sees straight-
+  line code it can pipeline; remat can be applied at the stack level by the
+  train step when memory-bound.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sketchformer_tpu.models.attention import MultiHeadAttention
+
+
+class FeedForward(nn.Module):
+    d_model: int
+    dff: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = nn.Dense(self.dff, dtype=self.dtype, name="in")(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="out")(h)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class EncoderLayer(nn.Module):
+    num_heads: int
+    d_model: int
+    dff: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    norm_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        mha = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout, self.dtype,
+            self.attn_impl, name="self_attn")
+        ffn = FeedForward(self.d_model, self.dff, self.dropout, self.dtype,
+                          name="ffn")
+        if self.norm_first:
+            h = ln("ln1")(x)
+            x = x + mha(h, h, mask=mask, deterministic=deterministic)
+            x = x + ffn(ln("ln2")(x), deterministic=deterministic)
+        else:
+            x = ln("ln1")(x + mha(x, x, mask=mask, deterministic=deterministic))
+            x = ln("ln2")(x + ffn(x, deterministic=deterministic))
+        return x
+
+
+class DecoderLayer(nn.Module):
+    num_heads: int
+    d_model: int
+    dff: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    norm_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, memory, self_mask=None, cross_mask=None,
+                 deterministic=True, decode=False):
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
+        self_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout, self.dtype,
+            self.attn_impl, name="self_attn")
+        cross_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout, self.dtype,
+            "xla", name="cross_attn")  # cross seq is short (bottleneck) — XLA
+        ffn = FeedForward(self.d_model, self.dff, self.dropout, self.dtype,
+                          name="ffn")
+        if self.norm_first:
+            h = ln("ln1")(x)
+            x = x + self_attn(h, h, mask=self_mask,
+                              deterministic=deterministic, decode=decode)
+            x = x + cross_attn(ln("ln2")(x), memory, mask=cross_mask,
+                               deterministic=deterministic)
+            x = x + ffn(ln("ln3")(x), deterministic=deterministic)
+        else:
+            x = ln("ln1")(x + self_attn(x, x, mask=self_mask,
+                                        deterministic=deterministic,
+                                        decode=decode))
+            x = ln("ln2")(x + cross_attn(x, memory, mask=cross_mask,
+                                         deterministic=deterministic))
+            x = ln("ln3")(x + ffn(x, deterministic=deterministic))
+        return x
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    d_model: int
+    dff: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    norm_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, mask=None, deterministic=True):
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.num_heads, self.d_model, self.dff, self.dropout,
+                self.dtype, self.attn_impl, self.norm_first,
+                name=f"layer_{i}")(x, mask=mask, deterministic=deterministic)
+        if self.norm_first:
+            x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
+        return x
+
+
+class Decoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    d_model: int
+    dff: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    norm_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, memory, self_mask=None, cross_mask=None,
+                 deterministic=True, decode=False):
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        for i in range(self.num_layers):
+            x = DecoderLayer(
+                self.num_heads, self.d_model, self.dff, self.dropout,
+                self.dtype, self.attn_impl, self.norm_first,
+                name=f"layer_{i}")(
+                    x, memory, self_mask=self_mask, cross_mask=cross_mask,
+                    deterministic=deterministic, decode=decode)
+        if self.norm_first:
+            x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
+        return x

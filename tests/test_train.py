@@ -1,0 +1,90 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sketchformer_tpu.data.registry import SyntheticLoader
+from sketchformer_tpu.data.tokenizer import GridTokenizer
+from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+from sketchformer_tpu.train.schedule import make_optimizer, noam_schedule
+from sketchformer_tpu.train.step import create_train_state, make_eval_step, make_train_step
+
+
+def test_noam_schedule_values():
+    sched = noam_schedule(d_model=512, warmup_steps=4000)
+    # closed-form check at known points
+    for step in (1, 100, 4000, 20000):
+        got = float(sched(jnp.asarray(step)))
+        want = 512 ** -0.5 * min(step ** -0.5, step * 4000 ** -1.5)
+        assert abs(got - want) < 1e-9
+    # peak is at warmup boundary
+    assert float(sched(jnp.asarray(4000))) >= float(sched(jnp.asarray(3000)))
+    assert float(sched(jnp.asarray(4000))) >= float(sched(jnp.asarray(6000)))
+
+
+def _tiny_loader(token_mode=True):
+    tok = GridTokenizer(resolution=10)
+    return SyntheticLoader(
+        num_classes=4, sketches_per_epoch=256, token_mode=token_mode,
+        batch_size=16, buckets=(64,), tokenizer=tok, seed=0,
+    )
+
+
+def _train_some(token_mode, steps=30):
+    loader = _tiny_loader(token_mode)
+    cfg = SketchformerConfig(
+        vocab_size=loader.vocab_size, num_classes=4, max_len=64,
+        d_model=32, num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2, use_continuous=token_mode is False,
+        num_mixtures=4,
+    )
+    model = Sketchformer(cfg)
+    tx = make_optimizer(cfg.d_model, warmup_steps=100, peak_scale=4.0)
+    def batch_stream():
+        epoch = 0
+        while True:
+            yield from loader.batch_iterator("train", epoch=epoch)
+            epoch += 1
+
+    it = batch_stream()
+    first = next(it)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), first)
+    step = make_train_step(model, tx)
+    metrics_hist = []
+    batches = [first] + [next(it) for _ in range(steps - 1)]
+    for b in batches:
+        state, metrics = step(state, b)
+        metrics_hist.append({k: float(v) for k, v in metrics.items()})
+    return state, metrics_hist, model, loader
+
+
+def test_tok_loss_goes_down():
+    _, hist, _, _ = _train_some(token_mode=True)
+    first = np.mean([h["loss"] for h in hist[:5]])
+    last = np.mean([h["loss"] for h in hist[-5:]])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first * 0.9, (first, last)
+
+
+def test_cont_loss_goes_down():
+    _, hist, _, _ = _train_some(token_mode=False)
+    first = np.mean([h["loss"] for h in hist[:5]])
+    last = np.mean([h["loss"] for h in hist[-5:]])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first - 0.3, (first, last)
+
+
+def test_eval_step_runs_and_matches_train_metrics_keys():
+    state, hist, model, loader = _train_some(token_mode=True, steps=5)
+    eval_step = make_eval_step(model)
+    val = loader.get_validation_set(max_batches=1)[0]
+    m = eval_step(state.params, val)
+    assert set(hist[0]) - {"grad_norm"} == set(m.keys() if isinstance(m, dict) else m)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_train_step_is_deterministic():
+    """Same seed + same data => identical params after N steps."""
+    s1, h1, _, _ = _train_some(token_mode=True, steps=3)
+    s2, h2, _, _ = _train_some(token_mode=True, steps=3)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
