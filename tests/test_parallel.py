@@ -1,0 +1,110 @@
+"""Distributed-without-a-cluster tests (SURVEY.md §4 item 4): 8 virtual CPU
+devices via --xla_force_host_platform_device_count (set in conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from sketchformer_tpu.data.registry import SyntheticLoader
+from sketchformer_tpu.data.tokenizer import GridTokenizer
+from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+from sketchformer_tpu.parallel.mesh import make_mesh
+from sketchformer_tpu.parallel.sharding import (
+    get_param_specs,
+    shard_batch,
+    shard_state,
+)
+from sketchformer_tpu.train.schedule import make_optimizer
+from sketchformer_tpu.train.step import create_train_state, make_train_step
+
+
+def _setup(mesh=None, model_kwargs=None):
+    tok = GridTokenizer(resolution=10)
+    loader = SyntheticLoader(
+        num_classes=4, sketches_per_epoch=128, batch_size=16,
+        buckets=(64,), tokenizer=tok, seed=0)
+    kwargs = dict(
+        vocab_size=loader.vocab_size, num_classes=4, max_len=64,
+        d_model=32, num_layers=2, num_heads=4, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2)
+    kwargs.update(model_kwargs or {})
+    cfg = SketchformerConfig(**kwargs)
+    model = Sketchformer(cfg)
+    tx = make_optimizer(cfg.d_model, warmup_steps=100, peak_scale=4.0)
+    batches = list(loader.batch_iterator("train"))[:4]
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batches[0])
+    return model, tx, state, batches
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh2 = make_mesh(model_parallelism=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(model_parallelism=3)
+
+
+def test_param_specs_patterns():
+    model, tx, state, _ = _setup()
+    specs = get_param_specs(state.params)
+    flat = {
+        "/".join(str(k.key) for k in path): spec
+        for path, spec in jax.tree_util.tree_flatten_with_path(
+            specs, is_leaf=lambda x: isinstance(x, P))[0]
+    }
+    assert flat["encoder/layer_0/ffn/in/kernel"] == P(None, "model")
+    assert flat["encoder/layer_0/ffn/out/kernel"] == P("model", None)
+    assert flat["encoder/layer_0/self_attn/query/kernel"] == P(None, "model", None)
+    assert flat["encoder/layer_0/self_attn/out/kernel"] == P("model", None, None)
+    assert flat["enc_embed/embed/embedding"] == P(None, "model")
+    # biases / layernorm scales replicated
+    assert flat["encoder/layer_0/ffn/in/bias"] == P(None)
+
+
+@pytest.mark.parametrize("model_parallelism", [1, 2])
+def test_sharded_step_matches_single_device(model_parallelism):
+    """DP(+TP) sharded training must produce the same loss trajectory as the
+    unsharded step — the central correctness property of the GSPMD layer."""
+    model, tx, state0, batches = _setup()
+    # single-device reference
+    step_ref = make_train_step(model, tx)
+    s = state0
+    ref_losses = []
+    for b in batches:
+        s, m = step_ref(s, b)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_mesh(model_parallelism=model_parallelism)
+    _, _, state1, _ = _setup()  # fresh identical state (same seed)
+    sharded = shard_state(state1, mesh)
+    step_sh = make_train_step(model, tx, mesh=mesh)
+    sh_losses = []
+    for b in batches:
+        sharded, m = step_sh(sharded, shard_batch(b, mesh))
+        sh_losses.append(float(m["loss"]))
+
+    np.testing.assert_allclose(ref_losses, sh_losses, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_batch_layout():
+    mesh = make_mesh()
+    _, _, _, batches = _setup()
+    sb = shard_batch(batches[0], mesh)
+    shard = sb["enc"].sharding
+    assert shard.spec == P("data", None)
+    # 16-row batch over 8 devices -> 2 rows per device
+    assert sb["enc"].addressable_shards[0].data.shape == (2, 64)
+
+
+def test_bf16_sharded_step_runs():
+    mesh = make_mesh(model_parallelism=2)
+    model, tx, state, batches = _setup(model_kwargs={"dtype": "bfloat16"})
+    sharded = shard_state(state, mesh)
+    step = make_train_step(model, tx, mesh=mesh)
+    sharded, m = step(sharded, shard_batch(batches[0], mesh))
+    assert np.isfinite(float(m["loss"]))
