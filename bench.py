@@ -1,0 +1,150 @@
+"""Benchmark harness: north-star metrics on the current chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+
+Headline metric: encoder embedding throughput (sketches/sec/chip) on the
+flagship tok2tok config (paper-scale trunk: d_model=256, 8 layers, bf16,
+Pallas fused attention), the metric BASELINE.json names with a >= 50k/s/chip
+target on v5e. ``vs_baseline`` is value / 50_000 (the reference itself
+publishes no machine-checkable numbers — BASELINE.md).
+
+Measurement methodology (IMPORTANT): on this environment's remote-PJRT
+backend ``block_until_ready`` can return before execution finishes, so all
+timings here are forced honest:
+
+- encode throughput is the MARGINAL cost of one forward, measured by
+  running the encoder N1 vs N2 times inside an on-device ``lax.scan`` with
+  a non-constant-foldable data dependency between iterations (so XLA can
+  neither hoist nor skip passes) and fetching a scalar: per_fwd =
+  (t(N2) - t(N1)) / (N2 - N1). This cancels dispatch/transfer overhead and
+  measures pure device time.
+- decode latency / train throughput fetch real values (host transfer) to
+  force completion; reported times therefore include a few ms of fixed
+  dispatch overhead (conservative).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _value(x) -> float:
+    """Force execution + host readback (block_until_ready is unreliable)."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sketchformer_tpu.infer import decode as dec
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.train.schedule import make_optimizer
+    from sketchformer_tpu.train.step import create_train_state, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    SEQ = 96          # typical RDP-simplified QuickDraw token length bucket
+    ENC_BATCH = 2048 if on_tpu else 64
+    DEC_BATCH = 64
+    DEC_LEN = 192 if on_tpu else 32
+    N1, N2 = (4, 24) if on_tpu else (1, 3)
+
+    cfg = SketchformerConfig(
+        vocab_size=10004, num_classes=345, max_len=max(SEQ, DEC_LEN),
+        d_model=256, num_layers=8, num_heads=8, dff=512, dropout=0.1,
+        lowerdim=256, dtype="bfloat16" if on_tpu else "float32",
+        attn_impl="pallas" if on_tpu else "xla",
+    )
+    model = Sketchformer(cfg)
+    rng = np.random.default_rng(0)
+
+    def tok_batch(B, L):
+        ids = rng.integers(4, cfg.vocab_size, size=(B, L)).astype(np.int32)
+        ids[:, -8:] = 0
+        ids[:, -9] = 2
+        return ids
+
+    enc = jnp.asarray(tok_batch(ENC_BATCH, SEQ))
+    dec_in = jnp.roll(enc, 1, axis=1).at[:, 0].set(1)
+    params = model.init(jax.random.PRNGKey(0), enc[:8], dec_in[:8])["params"]
+
+    # --- headline: encode throughput (marginal-scan method) -------------
+    def chained_embed(N):
+        @jax.jit
+        def embedN(params, enc):
+            def body(carry, _):
+                z = model.apply({"params": params}, enc + carry,
+                                method=Sketchformer.embed)
+                # runtime-dependent, compile-time-opaque recurrence
+                nxt = (z[:, :1] * 1e-20).astype(enc.dtype)
+                return nxt, z.sum()
+            _, zs = jax.lax.scan(
+                body, jnp.zeros_like(enc[:, :1]), None, length=N)
+            return zs.sum()
+        return embedN
+
+    totals = {}
+    for N in (N1, N2):
+        f = chained_embed(N)
+        _value(f(params, enc))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _value(f(params, enc))
+            ts.append(time.perf_counter() - t0)
+        totals[N] = min(ts)
+    per_fwd = (totals[N2] - totals[N1]) / (N2 - N1)
+    enc_sketches_per_sec = ENC_BATCH / per_fwd
+
+    extras = {"encode_ms_per_batch": round(per_fwd * 1e3, 3)}
+
+    # --- p50 AR decode latency (value-forced) ---------------------------
+    decode = dec.make_token_decoder(model, max_len=DEC_LEN)
+    enc_d = jnp.asarray(tok_batch(DEC_BATCH, DEC_LEN))
+    np.asarray(decode(params, enc_d))  # compile + warm
+    lat = []
+    for _ in range(10 if on_tpu else 2):
+        t0 = time.perf_counter()
+        np.asarray(decode(params, enc_d))
+        lat.append(time.perf_counter() - t0)
+    extras["decode_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
+    extras["decode_sketches_per_sec"] = round(
+        DEC_BATCH / float(np.percentile(lat, 50)), 1)
+
+    # --- train-step throughput (state chains via donation) --------------
+    tx = make_optimizer(cfg.d_model)
+    TB = 512 if on_tpu else 32
+    batch = {
+        "enc": np.asarray(enc[:TB]),
+        "dec_in": np.asarray(dec_in[:TB]),
+        "dec_tgt": np.asarray(enc[:TB]),
+        "label": rng.integers(0, 345, TB).astype(np.int32),
+    }
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx)
+    state, m = step(state, batch)  # compile
+    _value(m["loss"])
+    iters = 20 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+    _value(m["loss"])
+    extras["train_sketches_per_sec"] = round(
+        TB * iters / (time.perf_counter() - t0), 1)
+    extras["backend"] = jax.default_backend()
+    extras["seq_len"] = SEQ
+    extras["batch"] = ENC_BATCH
+
+    print(json.dumps({
+        "metric": "encode_sketches_per_sec_per_chip",
+        "value": round(enc_sketches_per_sec, 1),
+        "unit": "sketches/sec/chip",
+        "vs_baseline": round(enc_sketches_per_sec / 50_000.0, 3),
+        "extras": extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

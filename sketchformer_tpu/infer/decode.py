@@ -1,0 +1,223 @@
+"""Batched autoregressive reconstruction with KV-cached greedy decode.
+
+Capability parity with the reference's ``predict`` path (reference:
+models/sketchformer.py — greedy AR decode that RE-RUNS the full decoder
+over the growing prefix each step, O(T^2·L) attention, no cache). Here the
+whole decode is ONE compiled program: a ``lax.scan`` over steps where each
+step embeds a single position, runs the decoder with the static-shape KV
+cache (Pallas decode-attention kernel on TPU), and greedily emits the next
+token / MDN mode. EOS/pen-end handling is per-row masking inside the scan,
+so a whole batch decodes together regardless of individual stop times.
+
+Both entry points exist for tokens and continuous mode, and both support
+decoding from raw sketches OR from stored bottleneck embeddings
+(BASELINE.json config 3: "greedy KV-cached decode from bottleneck
+embedding").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sketchformer_tpu.data.pipeline import PEN_END
+from sketchformer_tpu.data.tokenizer import EOS_ID, PAD_ID, SOS_ID
+from sketchformer_tpu.models.sketchformer import Sketchformer
+from sketchformer_tpu.ops import mdn
+
+NEG_INF = -1e9
+
+
+def _build_cache(model, params, batch_size, memory, memory_mask):
+    _, vars_ = model.apply(
+        {"params": params}, batch_size, memory, memory_mask,
+        method=Sketchformer.init_cache, mutable=["cache"])
+    return vars_["cache"]
+
+
+def _memory_from_z(model, params, z):
+    return model.apply(
+        {"params": params}, z, method=Sketchformer.memory_from_z)
+
+
+# ---------------------------------------------------------------------------
+# token mode
+# ---------------------------------------------------------------------------
+
+
+def make_token_decoder(
+    model: Sketchformer, max_len: Optional[int] = None
+) -> Callable:
+    """Returns jitted ``decode(params, enc) -> (B, max_len) int32 ids``.
+
+    Emitted rows are ``[t_1 .. EOS PAD ...]`` (SOS stripped), matching the
+    pipeline's ``dec_tgt`` layout so tokenizer.decode applies directly.
+    """
+    cfg = model.config
+    T = max_len or cfg.max_len
+
+    def decode(params, enc):
+        B = enc.shape[0]
+        _, memory, memory_mask = model.apply(
+            {"params": params}, enc, method=Sketchformer.encode)
+        return _decode_tokens_from_memory(
+            model, params, memory, memory_mask, B, T)
+
+    return jax.jit(decode)
+
+
+def make_token_decoder_from_z(
+    model: Sketchformer, max_len: Optional[int] = None
+) -> Callable:
+    """Returns jitted ``decode(params, z) -> ids`` from stored embeddings."""
+    cfg = model.config
+    T = max_len or cfg.max_len
+
+    def decode(params, z):
+        memory = _memory_from_z(model, params, z)
+        return _decode_tokens_from_memory(
+            model, params, memory, None, z.shape[0], T)
+
+    return jax.jit(decode)
+
+
+def _decode_tokens_from_memory(model, params, memory, memory_mask, B, T):
+    cache = _build_cache(model, params, B, memory, memory_mask)
+
+    def body(carry, t):
+        cache, prev, finished = carry
+        out, upd = model.apply(
+            {"params": params, "cache": cache},
+            prev[:, None], memory, memory_mask, t,
+            method=Sketchformer.decode_step, mutable=["cache"])
+        logits = out[:, 0]
+        logits = logits.at[:, PAD_ID].set(NEG_INF).at[:, SOS_ID].set(NEG_INF)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, PAD_ID, nxt)
+        new_finished = jnp.logical_or(finished, nxt == EOS_ID)
+        return (upd["cache"], nxt, new_finished), nxt
+
+    init = (
+        cache,
+        jnp.full((B,), SOS_ID, jnp.int32),
+        jnp.zeros((B,), bool),
+    )
+    _, ids = jax.lax.scan(body, init, jnp.arange(T))
+    return ids.T  # (B, T)
+
+
+# ---------------------------------------------------------------------------
+# continuous (MDN) mode
+# ---------------------------------------------------------------------------
+
+
+def make_cont_decoder(
+    model: Sketchformer,
+    max_len: Optional[int] = None,
+    temperature: float = 0.0,
+) -> Callable:
+    """Returns jitted ``decode(params, enc, enc_mask, rng) ->
+    (xy (B,T,2), pen (B,T) int32, valid (B,T) bool)``.
+
+    ``temperature == 0`` -> greedy (argmax component mean / pen state).
+    """
+    cfg = model.config
+    T = max_len or cfg.max_len
+    greedy = temperature <= 0.0
+
+    def decode(params, enc, enc_mask, rng):
+        B = enc.shape[0]
+        _, memory, memory_mask = model.apply(
+            {"params": params}, enc, enc_mask, method=Sketchformer.encode)
+        return _decode_cont_from_memory(
+            model, params, memory, memory_mask, B, T, rng, greedy,
+            temperature)
+
+    return jax.jit(decode)
+
+
+def make_cont_decoder_from_z(
+    model: Sketchformer,
+    max_len: Optional[int] = None,
+    temperature: float = 0.0,
+) -> Callable:
+    cfg = model.config
+    T = max_len or cfg.max_len
+    greedy = temperature <= 0.0
+
+    def decode(params, z, rng):
+        memory = _memory_from_z(model, params, z)
+        return _decode_cont_from_memory(
+            model, params, memory, None, z.shape[0], T, rng, greedy,
+            temperature)
+
+    return jax.jit(decode)
+
+
+def _decode_cont_from_memory(
+    model, params, memory, memory_mask, B, T, rng, greedy, temperature
+):
+    cfg = model.config
+    cache = _build_cache(model, params, B, memory, memory_mask)
+    sos = jnp.zeros((B, 5), jnp.float32).at[:, 3].set(1.0)
+
+    def body(carry, inputs):
+        t, step_rng = inputs
+        cache, prev_row, finished = carry
+        raw, upd = model.apply(
+            {"params": params, "cache": cache},
+            prev_row[:, None], memory, memory_mask, t,
+            method=Sketchformer.decode_step, mutable=["cache"])
+        params_t = mdn.split_params(raw[:, 0], cfg.num_mixtures)
+        xy, pen = mdn.sample(
+            params_t, step_rng, temperature=temperature, greedy=greedy)
+        pen = jnp.where(finished, PEN_END, pen).astype(jnp.int32)
+        xy = jnp.where(finished[:, None], 0.0, xy)
+        new_finished = jnp.logical_or(finished, pen == PEN_END)
+        pen_oh = jax.nn.one_hot(pen, 3, dtype=jnp.float32)
+        next_row = jnp.concatenate([xy, pen_oh], axis=-1)
+        valid = jnp.logical_not(finished)
+        return (upd["cache"], next_row, new_finished), (xy, pen, valid)
+
+    step_rngs = jax.random.split(rng, T)
+    init = (cache, sos, jnp.zeros((B,), bool))
+    _, (xy, pen, valid) = jax.lax.scan(
+        body, init, (jnp.arange(T), step_rngs))
+    return (
+        xy.transpose(1, 0, 2),
+        pen.transpose(1, 0),
+        valid.transpose(1, 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side conversion back to stroke-3
+# ---------------------------------------------------------------------------
+
+
+def tokens_to_sketches(tokenizer, ids: np.ndarray) -> list:
+    """(B, T) decoded ids -> list of stroke-3 arrays."""
+    return [tokenizer.decode(row) for row in np.asarray(ids)]
+
+
+def cont_to_sketches(
+    xy: np.ndarray, pen: np.ndarray, valid: np.ndarray, scale: float = 1.0
+) -> list:
+    """MDN decode outputs -> list of denormalized stroke-3 arrays."""
+    out = []
+    for i in range(xy.shape[0]):
+        rows = []
+        for t in range(xy.shape[1]):
+            if not valid[i, t] or pen[i, t] == PEN_END:
+                break
+            rows.append([xy[i, t, 0] * scale, xy[i, t, 1] * scale,
+                         float(pen[i, t])])
+        sk = np.asarray(rows, dtype=np.float32).reshape(-1, 3)
+        if len(sk):
+            sk[-1, 2] = 1.0  # close the final stroke
+        out.append(sk)
+    return out

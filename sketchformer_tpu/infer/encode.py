@@ -1,0 +1,65 @@
+"""Embedding extraction: sketches -> fixed-length bottleneck vectors.
+
+Capability parity with the reference's ``model.encode`` usage in the
+notebook / eval scripts (reference: basic_usage.ipynb + embedding-dump
+script — tokenize+pad on host, encoder+bottleneck on device, dump z).
+
+TPU-first: the jitted embed function compiles once per bucket shape and is
+the throughput path for the north-star "sketches/sec/chip (encode)" metric;
+``preprocess_on_device`` provides the vectorized on-device normalize +
+delta-encode transform for continuous inputs (the tokenized path's
+per-point math lives host-side in the tokenizer because SEP insertion is
+ragged — see data/tokenizer.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sketchformer_tpu.models.sketchformer import Sketchformer
+
+
+def preprocess_on_device(
+    raw: jnp.ndarray,   # (B, T, 3) absolute-coordinate rows (x, y, pen)
+    scale: float,
+) -> jnp.ndarray:
+    """Vectorized on-device transform: absolute points -> normalized
+    stroke-3 deltas. Runs fused with the encoder under jit."""
+    coords = raw[..., :2]
+    deltas = jnp.diff(
+        jnp.concatenate([jnp.zeros_like(coords[:, :1]), coords], axis=1),
+        axis=1)
+    return jnp.concatenate(
+        [deltas / scale, raw[..., 2:]], axis=-1)
+
+
+def make_embed_fn(model: Sketchformer) -> Callable:
+    """Returns jitted ``embed(params, enc, enc_mask=None) -> (B, lowerdim)``."""
+
+    def embed(params, enc, enc_mask=None):
+        return model.apply(
+            {"params": params}, enc, enc_mask, method=Sketchformer.embed)
+
+    return jax.jit(embed)
+
+
+def embed_dataset(
+    model: Sketchformer,
+    params,
+    batches: Iterable[dict],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Run embedding extraction over batch dicts; returns (Z, labels)."""
+    embed = make_embed_fn(model)
+    zs, labels = [], []
+    for batch in batches:
+        if model.config.use_continuous:
+            z = embed(params, batch["enc"], batch["enc_mask"])
+        else:
+            z = embed(params, batch["enc"])
+        zs.append(np.asarray(z))
+        labels.append(np.asarray(batch["label"]))
+    return np.concatenate(zs, axis=0), np.concatenate(labels, axis=0)

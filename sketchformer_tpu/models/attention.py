@@ -52,6 +52,28 @@ def dot_product_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+def cached_decode_attention(
+    q: jnp.ndarray,          # (B*H, 1, D)
+    k_cache: jnp.ndarray,    # (B*H, Tmax, D) head-folded
+    v_cache: jnp.ndarray,
+    cache_len: jnp.ndarray,  # scalar int32
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Single-step attention against a head-folded KV cache."""
+    if impl == "pallas":
+        from sketchformer_tpu.ops.pallas_decode import decode_attention
+
+        return decode_attention(q, k_cache, v_cache, cache_len)
+    D = q.shape[-1]
+    scale = jnp.asarray(1.0 / jnp.sqrt(D), q.dtype)
+    logits = jnp.einsum("bqd,bkd->bqk", q * scale, k_cache)
+    logits = logits.astype(jnp.float32)
+    filled = jnp.arange(k_cache.shape[1]) < cache_len
+    logits = jnp.where(filled[None, None, :], logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bqk,bkd->bqd", weights, v_cache)
+
+
 class MultiHeadAttention(nn.Module):
     """MHA with separate q and kv inputs (self- or cross-attention)."""
 
@@ -83,13 +105,15 @@ class MultiHeadAttention(nn.Module):
         v = dense("value")(kv_inp)
 
         if decode:
-            # Static-shape KV cache: kv_inp carries ONE new position per call.
+            # Static-shape KV cache, stored HEAD-FOLDED as (B*H, Tmax, Dh) so
+            # the Pallas decode kernel consumes it with zero relayout (see
+            # ops/pallas_decode.py). kv_inp carries ONE new position per call.
+            B, Tmax = q_inp.shape[0], q_inp.shape[1]
             is_init = not self.has_variable("cache", "cached_key")
-            max_len = q_inp.shape[-2] if is_init else None
             cached_key = self.variable(
                 "cache", "cached_key",
-                lambda: jnp.zeros((q_inp.shape[0], q_inp.shape[1],
-                                   self.num_heads, head_dim), self.dtype))
+                lambda: jnp.zeros((B * self.num_heads, Tmax, head_dim),
+                                  self.dtype))
             cached_value = self.variable(
                 "cache", "cached_value",
                 lambda: jnp.zeros_like(cached_key.value))
@@ -97,20 +121,26 @@ class MultiHeadAttention(nn.Module):
                 "cache", "cache_index", lambda: jnp.zeros((), jnp.int32))
             if not is_init:
                 idx = cache_index.value
+                fold = lambda x: x.transpose(0, 2, 1, 3).reshape(
+                    x.shape[0] * self.num_heads, x.shape[1], head_dim)
                 cached_key.value = jax.lax.dynamic_update_slice(
-                    cached_key.value, k, (0, idx, 0, 0))
+                    cached_key.value, fold(k), (0, idx, 0))
                 cached_value.value = jax.lax.dynamic_update_slice(
-                    cached_value.value, v, (0, idx, 0, 0))
-                cache_index.value = idx + k.shape[1]
-                k = cached_key.value
-                v = cached_value.value
-                T = k.shape[1]
-                # only attend to filled cache slots
-                filled = jnp.arange(T) < cache_index.value
-                valid = filled[None, None, None, :]
-                mask = valid if mask is None else jnp.logical_and(mask, valid)
-
-        out = dot_product_attention(q, k, v, mask=mask, impl=self.attn_impl)
+                    cached_value.value, fold(v), (0, idx, 0))
+                new_len = idx + k.shape[1]
+                cache_index.value = new_len
+                folded = cached_decode_attention(
+                    fold(q), cached_key.value, cached_value.value, new_len,
+                    impl=self.attn_impl)
+                out = folded.reshape(
+                    q.shape[0], self.num_heads, q.shape[1], head_dim
+                ).transpose(0, 2, 1, 3)
+            else:
+                out = dot_product_attention(q, k, v, mask=mask,
+                                            impl=self.attn_impl)
+        else:
+            out = dot_product_attention(q, k, v, mask=mask,
+                                        impl=self.attn_impl)
         out = nn.DenseGeneral(
             features=self.d_model,
             axis=(-2, -1),

@@ -14,7 +14,9 @@ The paper compares bottleneck strategies; all three are implemented here
 
 ``__call__`` returns ``(z, memory, memory_mask)`` where ``memory`` is what
 the decoder cross-attends. For attn/mean the memory is RE-EXPANDED from z
-(never from the encoder sequence), enforcing the information bottleneck.
+via ``expand_z`` (never built from the encoder sequence), enforcing the
+information bottleneck — and making decode-from-a-stored-embedding (SBIR
+gallery reconstruction, interpolation) a first-class path.
 """
 
 from __future__ import annotations
@@ -36,7 +38,34 @@ class Bottleneck(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        if self.mode == "attn":
+            self.queries = self.param(
+                "queries",
+                nn.initializers.normal(stddev=0.02),
+                (self.num_queries, self.d_model),
+            )
+            self.pool_attn = MultiHeadAttention(
+                self.num_heads, self.d_model, self.dropout, self.dtype,
+                name="pool_attn")
+            self.to_z = nn.Dense(self.lowerdim, dtype=self.dtype, name="to_z")
+        elif self.mode in ("mean", "direct"):
+            self.to_z = nn.Dense(self.lowerdim, dtype=self.dtype, name="to_z")
+        else:
+            raise ValueError(f"unknown bottleneck mode {self.mode!r}")
+        if self.mode != "direct":
+            self.expand = nn.Dense(
+                self.num_queries * self.d_model, dtype=self.dtype,
+                name="expand")
+
+    def expand_z(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Fixed-length embedding -> decoder memory (B, num_queries, D)."""
+        if self.mode == "direct":
+            raise ValueError("direct mode has no z->memory expansion")
+        B = z.shape[0]
+        return self.expand(z.astype(self.dtype)).reshape(
+            B, self.num_queries, self.d_model)
+
     def __call__(
         self,
         enc_out: jnp.ndarray,                 # (B, T, D)
@@ -45,33 +74,21 @@ class Bottleneck(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         B = enc_out.shape[0]
         if self.mode == "attn":
-            queries = self.param(
-                "queries",
-                nn.initializers.normal(stddev=0.02),
-                (self.num_queries, self.d_model),
-            ).astype(self.dtype)
-            q = jnp.broadcast_to(queries, (B, self.num_queries, self.d_model))
-            pooled = MultiHeadAttention(
-                self.num_heads, self.d_model, self.dropout, self.dtype,
-                name="pool_attn",
-            )(q, enc_out, mask=enc_key_mask, deterministic=deterministic)
-            flat = pooled.reshape(B, self.num_queries * self.d_model)
-            z = nn.Dense(self.lowerdim, dtype=self.dtype, name="to_z")(flat)
-        elif self.mode in ("mean", "direct"):
+            q = jnp.broadcast_to(
+                self.queries.astype(self.dtype),
+                (B, self.num_queries, self.d_model))
+            pooled = self.pool_attn(
+                q, enc_out, mask=enc_key_mask, deterministic=deterministic)
+            z = self.to_z(pooled.reshape(B, self.num_queries * self.d_model))
+        else:
             if enc_key_mask is not None:
                 m = enc_key_mask[:, 0, 0, :, None].astype(enc_out.dtype)
                 denom = jnp.maximum(m.sum(axis=1), 1.0)
                 pooled = (enc_out * m).sum(axis=1) / denom
             else:
                 pooled = enc_out.mean(axis=1)
-            z = nn.Dense(self.lowerdim, dtype=self.dtype, name="to_z")(pooled)
-        else:
-            raise ValueError(f"unknown bottleneck mode {self.mode!r}")
+            z = self.to_z(pooled)
 
         if self.mode == "direct":
             return z, enc_out, enc_key_mask
-
-        memory = nn.Dense(
-            self.num_queries * self.d_model, dtype=self.dtype, name="expand"
-        )(z).reshape(B, self.num_queries, self.d_model)
-        return z, memory, None  # all memory slots valid
+        return z, self.expand_z(z), None  # all memory slots valid

@@ -130,6 +130,10 @@ class Sketchformer(nn.Module):
         z, _, _ = self.encode(enc, enc_mask, deterministic)
         return z.astype(jnp.float32)
 
+    def memory_from_z(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Decoder memory from a stored embedding (decode-from-z path)."""
+        return self.bottleneck.expand_z(z)
+
     # -- teacher-forced training path -------------------------------------
     def __call__(
         self,

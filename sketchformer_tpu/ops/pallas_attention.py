@@ -1,0 +1,260 @@
+"""Fused attention Pallas kernel for training (forward + custom-VJP backward).
+
+North-star component: "Pallas-fused transformer" — the reference has no
+custom kernels (pure TF2 ops); this is the TPU-native hot path.
+
+Design rationale (sketch workloads, SURVEY.md §5): QuickDraw sequences are
+short (buckets 32..256). At T<=1024 and head_dim<=128 the ENTIRE per-(batch,
+head) attention problem — q, k, v and the (Tq, Tk) score matrix — fits in
+VMEM, so the speed-of-light kernel is a single fused pass per (batch*head)
+grid cell: one MXU matmul for scores, an in-register f32 softmax, one MXU
+matmul for the output, with no HBM round-trip for the score matrix and no
+online-softmax bookkeeping (which only pays when a row doesn't fit VMEM).
+The backward kernel recomputes the softmax (flash-style: nothing quadratic
+is saved) and emits dq, dk, dv in one fused pass.
+
+Layout: Mosaic requires the last two block dims to tile (8, 128) or equal
+the array dims, so the wrapper folds heads into batch — (B, T, H, D) ->
+(B*H, T, D) — making every block a full (T, D) pane. The transposes are
+cheap relayouts XLA fuses into neighboring ops.
+
+For sequences beyond ``MAX_FUSED_LEN`` the wrapper falls back to the XLA
+formulation (cross-chip ring/context-parallelism would be pure overhead at
+sketch lengths — documented decision).
+
+Masking: callers pass a boolean mask broadcastable against (B, H, Tq, Tk)
+(True = attend). It is converted once to an additive f32 bias of shape
+(B or 1, Tq, Tk) shared across heads — sketch models never need per-head
+masks, and sharing keeps the bias HBM footprint negligible.
+
+Interpret mode runs automatically off-TPU so the same code path is test-
+covered on CPU (SURVEY.md §4 item 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+MAX_FUSED_LEN = 1024
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _bias_from_mask(
+    mask: Optional[jnp.ndarray], Tq: int, Tk: int
+) -> jnp.ndarray:
+    """Boolean mask (broadcastable to (B, H, Tq, Tk), head-invariant) ->
+    additive f32 bias (B or 1, Tq, Tk)."""
+    if mask is None:
+        return jnp.zeros((1, Tq, Tk), jnp.float32)
+    if mask.ndim != 4:
+        raise ValueError("mask must be 4D (B, H, Tq, Tk)-broadcastable")
+    mask = mask[:, 0]  # head-invariant
+    mask = jnp.broadcast_to(mask, (mask.shape[0], Tq, Tk))
+    return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _fold_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, H, D) -> (B*H, T, D)."""
+    B, T, H, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B * H, T, D)
+
+
+def _unfold_heads(x: jnp.ndarray, B: int, H: int) -> jnp.ndarray:
+    BH, T, D = x.shape
+    return x.reshape(B, H, T, D).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _batches_per_cell(
+    B: int, Tq: int, Tk: int, D: int, H: int,
+    budget: int = 2 * 1024 * 1024,
+) -> int:
+    """Group whole batch elements (H heads each) per grid cell so the grid
+    is small enough that per-cell overhead amortizes, while q/k/v/S panes
+    stay a few MB of VMEM (the backward kernel holds ~2x the panes of the
+    forward, so it passes a halved budget)."""
+    per_batch = H * (Tq + 2 * Tk) * D * 4 + Tq * Tk * 4
+    nb = max(1, budget // max(per_batch, 1))
+    while nb > 1 and B % nb:
+        nb -= 1
+    return nb
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, H, bias_b):
+    nheads = q_ref.shape[0]
+
+    def body(h, _):
+        # fori_loop (not Python unroll) so Mosaic reuses ONE score buffer
+        # across heads instead of stack-allocating nheads of them.
+        s = jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + (bias_ref[h // H] if bias_b > 1 else bias_ref[0])
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+        o = jnp.dot(p, v_ref[h], preferred_element_type=jnp.float32)
+        o_ref[h] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nheads, body, 0)
+
+
+def _specs(Tq, Tk, D, H, NB, bias_b):
+    spec_q = pl.BlockSpec((NB * H, Tq, D), lambda g: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_k = pl.BlockSpec((NB * H, Tk, D), lambda g: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if bias_b > 1:
+        spec_bias = pl.BlockSpec((NB, Tq, Tk), lambda g: (g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        spec_bias = pl.BlockSpec((1, Tq, Tk), lambda g: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return spec_q, spec_k, spec_bias
+
+
+def _fwd(q, k, v, bias, H):
+    BH, Tq, D = q.shape
+    Tk = k.shape[1]
+    B = BH // H
+    NB = _batches_per_cell(B, Tq, Tk, D, H)
+    scale = 1.0 / (D ** 0.5)
+    spec_q, spec_k, spec_bias = _specs(Tq, Tk, D, H, NB, bias.shape[0])
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, H=H, bias_b=bias.shape[0]),
+        grid=(B // NB,),
+        in_specs=[spec_q, spec_k, spec_k, spec_bias],
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * BH * Tq * Tk * D,
+            bytes_accessed=(q.size + 2 * k.size) * q.dtype.itemsize,
+            transcendentals=BH * Tq * Tk,
+        ),
+    )(q, k, v, bias)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (recompute softmax; emit dq, dk, dv fused)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, H, bias_b):
+    nheads = q_ref.shape[0]
+
+    def body(h, _):
+        q = q_ref[h]
+        k = k_ref[h]
+        v = v_ref[h]
+        g = g_ref[h]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + (bias_ref[h // H] if bias_b > 1 else bias_ref[0])
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Tq, Tk) f32
+        p_lp = p.astype(v.dtype)
+        dv = jax.lax.dot_general(                            # p^T @ g
+            p_lp, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(                            # g @ v^T
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds_lp = ds.astype(q.dtype)
+        dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(                            # ds^T @ q
+            ds_lp, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dq_ref[h] = dq.astype(dq_ref.dtype)
+        dk_ref[h] = dk.astype(dk_ref.dtype)
+        dv_ref[h] = dv.astype(dv_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nheads, body, 0)
+
+
+def _bwd_call(q, k, v, bias, g, H):
+    BH, Tq, D = q.shape
+    Tk = k.shape[1]
+    B = BH // H
+    NB = _batches_per_cell(B, Tq, Tk, D, H, budget=1024 * 1024)
+    scale = 1.0 / (D ** 0.5)
+    spec_q, spec_k, spec_bias = _specs(Tq, Tk, D, H, NB, bias.shape[0])
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, H=H, bias_b=bias.shape[0]),
+        grid=(B // NB,),
+        in_specs=[spec_q, spec_k, spec_k, spec_bias, spec_q],
+        out_specs=(spec_q, spec_k, spec_k),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        interpret=_use_interpret(),
+    )(q, k, v, bias, g)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention(q, k, v, bias, H):
+    return _fwd(q, k, v, bias, H)
+
+
+def _attention_fwd(q, k, v, bias, H):
+    return _fwd(q, k, v, bias, H), (q, k, v, bias)
+
+
+def _attention_bwd(H, res, g):
+    q, k, v, bias = res
+    dq, dk, dv = _bwd_call(q, k, v, bias, g, H)
+    return dq, dk, dv, None
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fused attention over (B, T, H, D) tensors; boolean mask, True=attend.
+
+    Falls back to the XLA path for sequences too long for the fused-VMEM
+    strategy (not a sketch workload).
+    """
+    B, Tq, H, D = q.shape
+    Tk = k.shape[1]
+    if max(Tq, Tk) > MAX_FUSED_LEN:
+        from sketchformer_tpu.models.attention import dot_product_attention
+
+        return dot_product_attention(q, k, v, mask=mask, impl="xla")
+    bias = _bias_from_mask(mask, Tq, Tk)
+    out = _attention(_fold_heads(q), _fold_heads(k), _fold_heads(v), bias, H)
+    return _unfold_heads(out, B, H)

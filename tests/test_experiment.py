@@ -1,0 +1,164 @@
+"""Experiment core: checkpoint save/restore, train loop, metrics, CLI."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from sketchformer_tpu.data.registry import SyntheticLoader
+from sketchformer_tpu.data.tokenizer import GridTokenizer
+from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+from sketchformer_tpu.train.checkpoint import CheckpointManager
+from sketchformer_tpu.train.loop import TrainLoopConfig, run_training
+from sketchformer_tpu.train.schedule import make_optimizer
+from sketchformer_tpu.train.step import create_train_state, make_train_step
+from sketchformer_tpu.utils.metrics import MetricWriter, reconstruction_grid
+from sketchformer_tpu.utils.notify import FileNotifier
+
+
+def _tiny():
+    tok = GridTokenizer(resolution=10)
+    loader = SyntheticLoader(
+        num_classes=4, sketches_per_epoch=256, batch_size=16,
+        buckets=(64,), tokenizer=tok, seed=0)
+    cfg = SketchformerConfig(
+        vocab_size=loader.vocab_size, num_classes=4, max_len=64,
+        d_model=32, num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2)
+    return loader, Sketchformer(cfg)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    loader, model = _tiny()
+    tx = make_optimizer(32, warmup_steps=10)
+    first = next(loader.batch_iterator("train"))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), first)
+    step = make_train_step(model, tx)
+    state, _ = step(state, first)
+
+    mgr = CheckpointManager(str(tmp_path / "run"), async_save=False)
+    mgr.save_config(model.config)
+    assert mgr.save(state)
+    mgr.wait_until_finished()
+    assert mgr.latest_step() == 1
+
+    template = create_train_state(model, tx, jax.random.PRNGKey(7), first)
+    restored = mgr.restore(template)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == 1
+    cfg_dict = mgr.load_config_dict()
+    assert cfg_dict["d_model"] == 32
+    mgr.close()
+
+
+def test_run_training_and_resume(tmp_path):
+    loader, model = _tiny()
+    run_dir = str(tmp_path / "exp")
+    loop = TrainLoopConfig(
+        total_steps=6, eval_every=3, save_every=3, notify_every=3,
+        log_every=2, warmup_steps=10, peak_scale=2.0)
+    final = run_training(model, loader, run_dir, loop,
+                         notifier=FileNotifier(run_dir))
+    assert "val_loss" in final and np.isfinite(final["val_loss"])
+    assert os.path.exists(os.path.join(run_dir, "config.json"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(run_dir, "notifications.log"))
+
+    # resume: loop must pick up at step 6 and add 4 more
+    loader2, model2 = _tiny()
+    loop2 = TrainLoopConfig(
+        total_steps=10, eval_every=5, save_every=5, log_every=2,
+        warmup_steps=10, peak_scale=2.0, resume=True)
+    run_training(model2, loader2, run_dir, loop2)
+    mgr = CheckpointManager(run_dir)
+    assert mgr.latest_step() == 10
+    mgr.close()
+
+
+def test_metric_writer_jsonl(tmp_path):
+    w = MetricWriter(str(tmp_path), use_tensorboard=False)
+    w.write_scalars(1, {"loss": 1.5})
+    w.write_scalars(2, {"loss": 1.2})
+    w.close()
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [l["step"] for l in lines] == [1, 2]
+    assert lines[1]["loss"] == 1.2
+
+
+def test_reconstruction_grid_shape():
+    from sketchformer_tpu.data import synthetic
+
+    rng = np.random.default_rng(0)
+    sks = [synthetic.generate_sketch(i, rng) for i in range(3)]
+    grid = reconstruction_grid(sks, sks, side=32)
+    assert grid.shape == (64, 96)
+    assert grid.max() == 1.0
+
+
+def test_cli_train_eval_embed(tmp_path):
+    from sketchformer_tpu.cli import main
+
+    run_dir = str(tmp_path / "cli_run")
+    rc = main([
+        "train", "--loader", "synthetic", "--run-dir", run_dir,
+        "--loader-arg", "num_classes=4", "--loader-arg", "batch_size=16",
+        "--loader-arg", "sketches_per_epoch=256",
+        "--loader-arg", "buckets=[64]",
+        "--hparams",
+        "d_model=32,num_layers=1,num_heads=2,dff=64,lowerdim=16,"
+        "num_queries=2,max_len=64,dropout=0.0",
+        "--loop-arg", "total_steps=4", "--loop-arg", "eval_every=2",
+        "--loop-arg", "save_every=2", "--loop-arg", "warmup_steps=10",
+        "--notifier", "none",
+    ])
+    assert rc == 0
+    rc = main([
+        "eval", "--loader", "synthetic", "--run-dir", run_dir,
+        "--loader-arg", "num_classes=4", "--loader-arg", "batch_size=16",
+        "--loader-arg", "buckets=[64]", "--max-batches", "2",
+    ])
+    assert rc == 0
+    out = str(tmp_path / "z.npz")
+    rc = main([
+        "embed", "--loader", "synthetic", "--run-dir", run_dir,
+        "--loader-arg", "num_classes=4", "--loader-arg", "batch_size=16",
+        "--loader-arg", "buckets=[64]", "--max-batches", "2",
+        "--output", out,
+    ])
+    assert rc == 0
+    with np.load(out) as z:
+        assert z["embeddings"].shape == (32, 16)
+
+
+def test_cli_prep_data_roundtrip(tmp_path):
+    from sketchformer_tpu.cli import main
+    from sketchformer_tpu.data import synthetic
+    from sketchformer_tpu.data.shards import ShardedDataset
+
+    # fabricate two per-class quickdraw-style npz files
+    in_dir = tmp_path / "qd"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for ci, name in enumerate(["cat", "dog"]):
+        sks = [synthetic.generate_sketch(ci, rng) for _ in range(12)]
+        np.savez(
+            in_dir / f"{name}.npz",
+            train=np.asarray(sks[:8], dtype=object),
+            valid=np.asarray(sks[8:10], dtype=object),
+            test=np.asarray(sks[10:], dtype=object),
+        )
+    out_dir = str(tmp_path / "shards")
+    rc = main(["prep-data", "--input-dir", str(in_dir), "--out-dir", out_dir,
+               "--shard-size", "8", "--fit-dictionary", "--dict-size", "16"])
+    assert rc == 0
+    ds = ShardedDataset(out_dir)
+    assert ds.class_names == ["cat", "dog"]
+    assert os.path.exists(os.path.join(out_dir, "dictionary.npz"))
+    total = sum(
+        1 for split in ("train", "valid", "test")
+        for _ in ds.iter_sketches(split))
+    assert total == 24
