@@ -40,7 +40,13 @@ from typing import Dict, Iterator, List, Sequence, Tuple
 import numpy as np
 
 from sketchformer_tpu.data import stroke3
-from sketchformer_tpu.data.tokenizer import EOS_ID, PAD_ID, SOS_ID, encode_batch
+from sketchformer_tpu.data.tokenizer import (
+    EOS_ID,
+    PAD_ID,
+    SOS_ID,
+    GridTokenizer,
+    encode_batch,
+)
 
 DEFAULT_BUCKETS = (32, 64, 96, 128, 192, 256)
 
@@ -61,13 +67,35 @@ def bucket_for_length(n: int, buckets: Sequence[int]) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _ragged_concat(sketches: Sequence[np.ndarray]):
+    offsets = np.zeros(len(sketches) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(s) for s in sketches])
+    points = (
+        np.concatenate(sketches, axis=0).astype(np.float32)
+        if offsets[-1]
+        else np.zeros((0, 3), np.float32)
+    )
+    return np.ascontiguousarray(points), offsets
+
+
 def make_batch_tok(
     tokenizer,
     sketches: Sequence[np.ndarray],
     labels: np.ndarray,
     max_len: int,
+    native: bool = True,
 ) -> Dict[str, np.ndarray]:
-    ids, _ = encode_batch(tokenizer, sketches, max_len)
+    ids = None
+    if native and isinstance(tokenizer, GridTokenizer):
+        from sketchformer_tpu.native import get_batcher
+
+        mod = get_batcher()
+        if mod is not None:
+            points, offsets = _ragged_concat(sketches)
+            ids, _ = mod.grid_encode_batch(
+                points, offsets, tokenizer.resolution, max_len)
+    if ids is None:
+        ids, _ = encode_batch(tokenizer, sketches, max_len)
     dec_in = np.full_like(ids, PAD_ID)
     dec_in[:, 0] = SOS_ID
     dec_in[:, 1:] = ids[:, :-1]
@@ -84,7 +112,22 @@ def make_batch_cont(
     labels: np.ndarray,
     max_len: int,
     scale: float,
+    native: bool = True,
 ) -> Dict[str, np.ndarray]:
+    if native:
+        from sketchformer_tpu.native import get_batcher
+
+        mod = get_batcher()
+        if mod is not None:
+            points, offsets = _ragged_concat(
+                [np.asarray(s, np.float32) for s in sketches])
+            enc, enc_mask, dec_in, tgt_xy, tgt_pen, dec_mask = mod.cont_batch(
+                points, offsets, float(scale), max_len)
+            return {
+                "enc": enc, "enc_mask": enc_mask, "dec_in": dec_in,
+                "tgt_xy": tgt_xy, "tgt_pen": tgt_pen, "dec_mask": dec_mask,
+                "label": labels.astype(np.int32),
+            }
     B = len(sketches)
     enc = np.zeros((B, max_len, 3), dtype=np.float32)
     enc_mask = np.zeros((B, max_len), dtype=np.float32)

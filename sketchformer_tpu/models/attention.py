@@ -74,6 +74,61 @@ def cached_decode_attention(
     return jnp.einsum("bqk,bkd->bqd", weights, v_cache)
 
 
+class HeadProjection(nn.Module):
+    """x (..., T, d_model) -> per-head q/k/v with selectable output layout.
+
+    Param-compatible with ``nn.DenseGeneral(features=(H, Dh))`` (kernel
+    (d_model, H, Dh), bias (H, Dh)) but computed as an einsum so the Pallas
+    path can get HEAD-MAJOR (..., H, T, Dh) output with the transpose fused
+    into the matmul epilogue by XLA — an explicit transpose of (B,T,H,D)
+    activations costs more HBM traffic than the fused kernel saves.
+    """
+
+    num_heads: int
+    head_dim: int
+    head_major: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (d_in, self.num_heads, self.head_dim)).astype(self.dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros,
+            (self.num_heads, self.head_dim)).astype(self.dtype)
+        if self.head_major:
+            out = jnp.einsum("...tm,mhd->...htd", x, kernel)
+            return out + bias[:, None, :]
+        out = jnp.einsum("...tm,mhd->...thd", x, kernel)
+        return out + bias
+
+
+class HeadOutProjection(nn.Module):
+    """Per-head attention output -> d_model; accepts either layout.
+
+    Param-compatible with ``nn.DenseGeneral(features=d_model, axis=(-2,-1))``
+    (kernel (H, Dh, d_model), bias (d_model,)).
+    """
+
+    num_heads: int
+    head_dim: int
+    d_model: int
+    head_major: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.num_heads, self.head_dim, self.d_model)).astype(self.dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.d_model,)).astype(self.dtype)
+        eq = "...htd,hdm->...tm" if self.head_major else "...thd,hdm->...tm"
+        return jnp.einsum(eq, x, kernel) + bias
+
+
 class MultiHeadAttention(nn.Module):
     """MHA with separate q and kv inputs (self- or cross-attention)."""
 
@@ -95,14 +150,13 @@ class MultiHeadAttention(nn.Module):
         if self.d_model % self.num_heads:
             raise ValueError("d_model must divide num_heads")
         head_dim = self.d_model // self.num_heads
-        dense = lambda name: nn.DenseGeneral(
-            features=(self.num_heads, head_dim),
-            dtype=self.dtype,
-            name=name,
-        )
-        q = dense("query")(q_inp)
-        k = dense("key")(kv_inp)
-        v = dense("value")(kv_inp)
+        # head-major only pays on the fused-kernel training path
+        head_major = self.attn_impl == "pallas" and not decode
+        proj = lambda name: HeadProjection(
+            self.num_heads, head_dim, head_major, self.dtype, name=name)
+        q = proj("query")(q_inp)
+        k = proj("key")(kv_inp)
+        v = proj("value")(kv_inp)
 
         if decode:
             # Static-shape KV cache, stored HEAD-FOLDED as (B*H, Tmax, Dh) so
@@ -136,17 +190,17 @@ class MultiHeadAttention(nn.Module):
                     q.shape[0], self.num_heads, q.shape[1], head_dim
                 ).transpose(0, 2, 1, 3)
             else:
-                out = dot_product_attention(q, k, v, mask=mask,
-                                            impl=self.attn_impl)
+                out = dot_product_attention(q, k, v, mask=mask, impl="xla")
+        elif head_major:
+            from sketchformer_tpu.ops.pallas_attention import flash_attention
+
+            out = flash_attention(q, k, v, mask=mask, head_major=True)
         else:
             out = dot_product_attention(q, k, v, mask=mask,
                                         impl=self.attn_impl)
-        out = nn.DenseGeneral(
-            features=self.d_model,
-            axis=(-2, -1),
-            dtype=self.dtype,
-            name="out",
-        )(out)
+        out = HeadOutProjection(
+            self.num_heads, head_dim, self.d_model, head_major and not decode,
+            self.dtype, name="out")(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out

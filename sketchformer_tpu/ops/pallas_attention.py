@@ -243,18 +243,38 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    head_major: bool = False,
 ) -> jnp.ndarray:
-    """Fused attention over (B, T, H, D) tensors; boolean mask, True=attend.
+    """Fused attention; boolean mask, True=attend.
+
+    ``head_major=False``: (B, T, H, D) tensors — folded with explicit
+    transposes (compat path). ``head_major=True``: (B, H, T, D) tensors as
+    produced by HeadProjection — folding is a FREE contiguous reshape, which
+    is the production layout (the transposes otherwise cost more HBM traffic
+    than the fusion saves).
 
     Falls back to the XLA path for sequences too long for the fused-VMEM
     strategy (not a sketch workload).
     """
-    B, Tq, H, D = q.shape
-    Tk = k.shape[1]
+    if head_major:
+        B, H, Tq, D = q.shape
+        Tk = k.shape[2]
+    else:
+        B, Tq, H, D = q.shape
+        Tk = k.shape[1]
     if max(Tq, Tk) > MAX_FUSED_LEN:
         from sketchformer_tpu.models.attention import dot_product_attention
 
+        if head_major:
+            to_btHD = lambda x: x.transpose(0, 2, 1, 3)
+            out = dot_product_attention(
+                to_btHD(q), to_btHD(k), to_btHD(v), mask=mask, impl="xla")
+            return out.transpose(0, 2, 1, 3)
         return dot_product_attention(q, k, v, mask=mask, impl="xla")
     bias = _bias_from_mask(mask, Tq, Tk)
+    if head_major:
+        fold = lambda x: x.reshape(B * H, x.shape[2], D)
+        out = _attention(fold(q), fold(k), fold(v), bias, H)
+        return out.reshape(B, H, Tq, D)
     out = _attention(_fold_heads(q), _fold_heads(k), _fold_heads(v), bias, H)
     return _unfold_heads(out, B, H)

@@ -136,3 +136,20 @@ def test_default_hparams_roundtrip():
     hps.parse("d_model=64,num_layers=2,dtype=bfloat16")
     cfg = SketchformerConfig.from_hparams(hps)
     assert cfg.d_model == 64 and cfg.compute_dtype == jnp.bfloat16
+
+
+def test_pallas_and_xla_impls_agree_on_full_model():
+    """Same params (shapes/names identical), different attention backends."""
+    batch = _tok_batch(np.random.default_rng(5))
+    cfg_x = SketchformerConfig(**TINY)
+    cfg_p = SketchformerConfig(**{**TINY, "attn_impl": "pallas"})
+    mx, mp = Sketchformer(cfg_x), Sketchformer(cfg_p)
+    params = mx.init(jax.random.PRNGKey(0), batch["enc"], batch["dec_in"])
+    out_x = mx.apply(params, batch["enc"], batch["dec_in"])
+    out_p = mp.apply(params, batch["enc"], batch["dec_in"])
+    np.testing.assert_allclose(
+        np.asarray(out_x["recon"]), np.asarray(out_p["recon"]),
+        atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_x["embedding"]), np.asarray(out_p["embedding"]),
+        atol=5e-5, rtol=1e-4)
