@@ -239,3 +239,53 @@ def iterate_batches(
             yield batch
     if drain:
         yield from batcher.drain()
+
+
+class Prefetcher:
+    """Background-thread batch prefetch (bounded queue).
+
+    Host-side shard reads + batch assembly run ahead of the training loop so
+    the device never waits on the host (the reference assembles batches
+    synchronously on the step path). Used by train/loop.py; iterate normally
+    and ``close()`` (or exhaust) to join the thread.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, iterator: Iterator, depth: int = 4) -> None:
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker() -> None:
+            try:
+                for item in iterator:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(item)
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            raise StopIteration
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+        # unblock the worker if it's waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=5)

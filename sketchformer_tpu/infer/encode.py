@@ -47,6 +47,16 @@ def make_embed_fn(model: Sketchformer) -> Callable:
     return jax.jit(embed)
 
 
+def interpolate(za: np.ndarray, zb: np.ndarray, steps: int = 8) -> np.ndarray:
+    """Linear interpolation path between two bottleneck embeddings.
+
+    (The paper demonstrates latent-space sketch interpolation; decode the
+    returned (steps, lowerdim) array with infer.decode.make_*_decoder_from_z.)
+    """
+    alphas = np.linspace(0.0, 1.0, steps, dtype=np.float32)[:, None]
+    return (1.0 - alphas) * za[None] + alphas * zb[None]
+
+
 def embed_dataset(
     model: Sketchformer,
     params,

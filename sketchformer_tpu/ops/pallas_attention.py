@@ -95,24 +95,29 @@ def _batches_per_cell(
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, H, bias_b):
-    nheads = q_ref.shape[0]
-
-    def body(h, _):
-        # fori_loop (not Python unroll) so Mosaic reuses ONE score buffer
-        # across heads instead of stack-allocating nheads of them.
-        s = jax.lax.dot_general(
-            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = s + (bias_ref[h // H] if bias_b > 1 else bias_ref[0])
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
-        o = jnp.dot(p, v_ref[h], preferred_element_type=jnp.float32)
-        o_ref[h] = o.astype(o_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, nheads, body, 0)
+    # One BATCHED dot over all NB*H rows in the cell (a hardware-looped
+    # Mosaic batch-matmul) — a per-head fori_loop costs ~0.5us/iteration of
+    # loop overhead, which at (B*H)/cell iterations dominated the kernel.
+    G = q_ref.shape[0]
+    s = jax.lax.dot_general(
+        q_ref[:], k_ref[:], (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                          # (G, Tq, Tk) f32
+    if bias_b > 1:
+        NB = G // H
+        Tq, Tk = s.shape[1], s.shape[2]
+        s = (s.reshape(NB, H, Tq, Tk) + bias_ref[:][:, None]).reshape(
+            G, Tq, Tk)
+    else:
+        s = s + bias_ref[0][None]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v_ref.dtype)
+    o = jax.lax.dot_general(
+        p, v_ref[:], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = o.astype(o_ref.dtype)
 
 
 def _specs(Tq, Tk, D, H, NB, bias_b):
@@ -158,40 +163,43 @@ def _fwd(q, k, v, bias, H):
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, H, bias_b):
-    nheads = q_ref.shape[0]
-
-    def body(h, _):
-        q = q_ref[h]
-        k = k_ref[h]
-        v = v_ref[h]
-        g = g_ref[h]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = s + (bias_ref[h // H] if bias_b > 1 else bias_ref[0])
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Tq, Tk) f32
-        p_lp = p.astype(v.dtype)
-        dv = jax.lax.dot_general(                            # p^T @ g
-            p_lp, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(                            # g @ v^T
-            g, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        ds_lp = ds.astype(q.dtype)
-        dq = jnp.dot(ds_lp, k, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(                            # ds^T @ q
-            ds_lp, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        dq_ref[h] = dq.astype(dq_ref.dtype)
-        dk_ref[h] = dk.astype(dk_ref.dtype)
-        dv_ref[h] = dv.astype(dv_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, nheads, body, 0)
+    G = q_ref.shape[0]
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    g = g_ref[:]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                              # (G, Tq, Tk)
+    if bias_b > 1:
+        NB = G // H
+        Tq, Tk = s.shape[1], s.shape[2]
+        s = (s.reshape(NB, H, Tq, Tk) + bias_ref[:][:, None]).reshape(
+            G, Tq, Tk)
+    else:
+        s = s + bias_ref[0][None]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)              # (G, Tq, Tk) f32
+    p_lp = p.astype(v.dtype)
+    dv = jax.lax.dot_general(                                # p^T @ g
+        p_lp, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (G, Tk, D)
+    dp = jax.lax.dot_general(                                # g @ v^T
+        g, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # (G, Tq, Tk)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds_lp = ds.astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds_lp, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (G, Tq, D)
+    dk = jax.lax.dot_general(                                # ds^T @ q
+        ds_lp, q, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (G, Tk, D)
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _bwd_call(q, k, v, bias, g, H):

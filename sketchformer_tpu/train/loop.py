@@ -78,7 +78,9 @@ def run_training(
             yield from loader.batch_iterator("train", epoch=epoch)
             epoch += 1
 
-    stream = batch_stream()
+    from sketchformer_tpu.data.pipeline import Prefetcher
+
+    stream = Prefetcher(batch_stream(), depth=4)
     first = next(stream)
     state = create_train_state(
         model, tx, jax.random.PRNGKey(loop_cfg.seed), first)
@@ -138,4 +140,5 @@ def run_training(
     ckpt.wait_until_finished()
     writer.close()
     ckpt.close()
+    stream.close()
     return final

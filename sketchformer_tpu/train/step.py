@@ -90,7 +90,15 @@ def make_train_step(
     w_cls: float = 1.0,
     mesh: Optional[jax.sharding.Mesh] = None,
     remat: bool = False,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, Any]]]:
+    """Build the jitted train step.
+
+    ``accum_steps > 1`` enables microbatching: the batch's leading axis is
+    split into that many slices and gradients are averaged in an on-device
+    ``lax.scan`` before ONE optimizer update — the memory knob for
+    larger-than-HBM effective batches (SURVEY.md §7 M3).
+    """
     cfg = model.config
     loss_fn = _loss_fn(cfg, w_recon, w_cls)
 
@@ -98,20 +106,47 @@ def make_train_step(
     if remat:
         apply = jax.checkpoint(apply, static_argnums=())
 
-    def step(state: TrainState, batch: Dict[str, Any]):
-        step_rng = jax.random.fold_in(state.rng, state.step)
-
-        def compute_loss(params):
+    def grads_for(params, batch, step_rng):
+        def compute_loss(p):
             outputs = apply(
-                {"params": params},
+                {"params": p},
                 **_model_kwargs(cfg, batch),
                 deterministic=False,
                 rngs={"dropout": step_rng},
             )
             return loss_fn(outputs, batch)
 
-        (_, metrics), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+        return jax.value_and_grad(compute_loss, has_aux=True)(params)
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        step_rng = jax.random.fold_in(state.rng, state.step)
+
+        if accum_steps == 1:
+            (_, metrics), grads = grads_for(state.params, batch, step_rng)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    (accum_steps, x.shape[0] // accum_steps) + x.shape[1:]),
+                batch)
+
+            def body(carry, inputs):
+                g_acc, m_acc, i = carry
+                (_, m), g = grads_for(
+                    state.params, inputs, jax.random.fold_in(step_rng, i))
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                m_acc = jax.tree.map(jnp.add, m_acc, dict(m))
+                return (g_acc, m_acc, i + 1), None
+
+            # first microbatch seeds the accumulators (no shape probing)
+            first_mb = jax.tree.map(lambda x: x[0], micro)
+            rest = jax.tree.map(lambda x: x[1:], micro)
+            (_, m0), g0 = grads_for(state.params, first_mb, step_rng)
+            (grads, metrics, _), _ = jax.lax.scan(
+                body, (g0, dict(m0), jnp.int32(1)), rest)
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            metrics = jax.tree.map(lambda v: v * inv, metrics)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_opt, state.step + 1, state.rng)

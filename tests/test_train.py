@@ -88,3 +88,35 @@ def test_train_step_is_deterministic():
     s2, h2, _, _ = _train_some(token_mode=True, steps=3)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 must equal the full-batch step when dropout is off."""
+    import jax.numpy as jnp
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.data.tokenizer import GridTokenizer
+    from sketchformer_tpu.data.registry import SyntheticLoader
+
+    tok = GridTokenizer(resolution=10)
+    loader = SyntheticLoader(
+        num_classes=4, sketches_per_epoch=64, batch_size=16,
+        buckets=(64,), tokenizer=tok, seed=0)
+    cfg = SketchformerConfig(
+        vocab_size=loader.vocab_size, num_classes=4, max_len=64,
+        d_model=32, num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2)
+    model = Sketchformer(cfg)
+    tx = make_optimizer(cfg.d_model, warmup_steps=100)
+    batch = next(loader.batch_iterator("train"))
+    s0 = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    s0b = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+
+    full = make_train_step(model, tx)
+    accum = make_train_step(model, tx, accum_steps=2)
+    s1, m1 = full(s0, batch)
+    s2, m2 = accum(s0b, batch)
+    # losses are means over non-pad positions; microbatch means of unequal
+    # pad counts differ slightly from the full-batch mean -> loose tol
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 0.05
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
