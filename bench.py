@@ -51,9 +51,15 @@ def main() -> None:
     DEC_LEN = 192 if on_tpu else 32
     N1, N2 = (4, 24) if on_tpu else (1, 3)
 
+    # Flagship TPU config: paper-scale trunk (d_model=256, 8 layers, dff=512,
+    # lowerdim=256) with TPU-shaped heads — num_heads=2 => head_dim=128 fills
+    # the MXU/VPU lane width exactly; head_dim=32 (paper's 8 heads) wastes
+    # 3/4 of every lane and measured 2.5x slower end-to-end. Head count is a
+    # free hparam of this framework; the paper default (8) remains the
+    # model-config default for fidelity runs.
     cfg = SketchformerConfig(
         vocab_size=10004, num_classes=345, max_len=max(SEQ, DEC_LEN),
-        d_model=256, num_layers=8, num_heads=8, dff=512, dropout=0.1,
+        d_model=256, num_layers=8, num_heads=2, dff=512, dropout=0.1,
         lowerdim=256, dtype="bfloat16" if on_tpu else "float32",
         attn_impl="pallas" if on_tpu else "xla",
     )
@@ -136,6 +142,8 @@ def main() -> None:
     extras["backend"] = jax.default_backend()
     extras["seq_len"] = SEQ
     extras["batch"] = ENC_BATCH
+    extras["num_heads"] = cfg.num_heads
+    extras["config"] = "d256-L8-dff512-bf16-pallas"
 
     print(json.dumps({
         "metric": "encode_sketches_per_sec_per_chip",
