@@ -83,14 +83,14 @@ class BaseLoader:
     def get_validation_set(
         self, max_batches: int = 8
     ) -> List[Dict[str, np.ndarray]]:
-        if self._val_cache is None:
+        if self._val_cache is None or len(self._val_cache) < max_batches:
             out = []
             for batch in self.batch_iterator("valid"):
                 out.append(batch)
                 if len(out) >= max_batches:
                     break
             self._val_cache = out
-        return self._val_cache
+        return self._val_cache[:max_batches]
 
     @property
     def vocab_size(self) -> int:

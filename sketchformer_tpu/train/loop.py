@@ -16,6 +16,7 @@ from experiment dir). TPU-first deltas:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import jax
@@ -47,6 +48,9 @@ class TrainLoopConfig:
     seed: int = 0
     resume: bool = True
     remat: bool = False
+    accum_steps: int = 1
+    profile_steps: int = 0      # trace steps [10, 10+N) with jax.profiler
+    recon_grid_every: int = 0   # decode+render a val recon grid every N steps
 
 
 def run_training(
@@ -68,7 +72,7 @@ def run_training(
         peak_scale=loop_cfg.peak_scale)
     train_step = make_train_step(
         model, tx, w_recon=loop_cfg.w_recon, w_cls=loop_cfg.w_cls,
-        mesh=mesh, remat=loop_cfg.remat)
+        mesh=mesh, remat=loop_cfg.remat, accum_steps=loop_cfg.accum_steps)
     eval_step = make_eval_step(
         model, w_recon=loop_cfg.w_recon, w_cls=loop_cfg.w_cls, mesh=mesh)
 
@@ -112,8 +116,37 @@ def run_training(
                 acc[k] = acc.get(k, 0.0) + float(v)
         return {f"val_{k}": v / max(len(batches), 1) for k, v in acc.items()}
 
+    def render_recon_grid(step):
+        """Decode a val batch through the cached AR path -> image grid."""
+        if cfg.use_continuous:
+            return  # cont-mode grids need a sampling rng; CLI decode covers it
+        from sketchformer_tpu.infer import decode as dec
+        from sketchformer_tpu.utils.metrics import reconstruction_grid
+
+        val = loader.get_validation_set(max_batches=1)[0]
+        ids = dec.make_token_decoder(model)(current["state"].params,
+                                            val["enc"])
+        recon = dec.tokens_to_sketches(loader.tokenizer, np.asarray(ids))
+        orig = [loader.tokenizer.decode(row) for row in np.asarray(val["enc"])]
+        grid = reconstruction_grid(orig, recon)
+        writer.write_image(step, "reconstruction", grid)
+        notifier.notify(f"reconstruction grid @ step {step}", image=grid)
+
+    profiling = False
     batch = first
     while step_i < loop_cfg.total_steps:
+        if loop_cfg.profile_steps:
+            if step_i == 10 and not profiling:
+                try:
+                    jax.profiler.start_trace(
+                        os.path.join(run_dir, "profile"))
+                    profiling = True
+                except Exception:
+                    loop_cfg.profile_steps = 0
+            elif profiling and step_i >= 10 + loop_cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
+                loop_cfg.profile_steps = 0
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(current["state"], batch)
@@ -131,6 +164,8 @@ def run_training(
             last_metrics.update(ev)
         if step_i % loop_cfg.notify_every == 0:
             notifier.notify(f"step {step_i}", scalars=last_metrics)
+        if loop_cfg.recon_grid_every and step_i % loop_cfg.recon_grid_every == 0:
+            render_recon_grid(step_i)
         ckpt.save(state)  # manager applies save_interval_steps policy
         batch = next(stream)
 

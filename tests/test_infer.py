@@ -1,0 +1,92 @@
+import jax
+import numpy as np
+
+from sketchformer_tpu.infer.encode import embed_dataset, interpolate, preprocess_on_device
+from sketchformer_tpu.infer.sbir import classification_eval, retrieval_eval
+
+
+def test_retrieval_eval_perfect_case():
+    """Distinct well-separated clusters -> perfect retrieval."""
+    rng = np.random.default_rng(0)
+    centers = np.eye(4) * 10
+    z = np.concatenate([centers[i] + 0.01 * rng.standard_normal((5, 4))
+                        for i in range(4)])
+    labels = np.repeat(np.arange(4), 5)
+    m = retrieval_eval(z, labels, z, labels, exclude_self=True)
+    assert m["top1"] == 1.0 and m["mAP"] > 0.99
+
+
+def test_retrieval_eval_random_baseline():
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((200, 8))
+    labels = rng.integers(0, 4, 200)
+    m = retrieval_eval(z, labels, z, labels, exclude_self=True)
+    # random embeddings -> top1 near class prior (0.25)
+    assert 0.1 < m["top1"] < 0.45
+    assert 0.15 < m["mAP"] < 0.40
+
+
+def test_retrieval_exclude_self_matters():
+    z = np.eye(6)
+    labels = np.arange(6)  # every class unique
+    with_self = retrieval_eval(z, labels, z, labels, exclude_self=False)
+    without = retrieval_eval(z, labels, z, labels, exclude_self=True)
+    assert with_self["top1"] == 1.0  # finds itself
+    assert without["top1"] == 0.0    # nothing else matches
+
+
+def test_classification_eval():
+    logits = np.asarray([[5, 1, 0], [0, 2, 1], [1, 0, 3]], np.float32)
+    labels = np.asarray([0, 1, 0])
+    m = classification_eval(logits, labels)
+    assert abs(m["top1"] - 2 / 3) < 1e-9
+    assert m["top5"] == 1.0
+
+
+def test_interpolate_endpoints_and_shape():
+    za = np.ones(8, np.float32)
+    zb = -np.ones(8, np.float32)
+    path = interpolate(za, zb, steps=5)
+    assert path.shape == (5, 8)
+    np.testing.assert_allclose(path[0], za)
+    np.testing.assert_allclose(path[-1], zb)
+    np.testing.assert_allclose(path[2], 0.0, atol=1e-7)
+
+
+def test_preprocess_on_device_matches_numpy():
+    import jax.numpy as jnp
+
+    from sketchformer_tpu.data import stroke3
+
+    rng = np.random.default_rng(2)
+    # absolute-coordinate rows with pen flags
+    abs_rows = rng.standard_normal((3, 10, 3)).astype(np.float32)
+    abs_rows[..., 2] = (abs_rows[..., 2] > 0).astype(np.float32)
+    got = np.asarray(preprocess_on_device(jnp.asarray(abs_rows), scale=2.5))
+    for i in range(3):
+        coords = abs_rows[i, :, :2]
+        deltas = np.diff(np.concatenate([np.zeros((1, 2)), coords]), axis=0)
+        want = np.concatenate(
+            [deltas / 2.5, abs_rows[i, :, 2:]], axis=-1)
+        np.testing.assert_allclose(got[i], want, atol=1e-6)
+
+
+def test_embed_dataset_over_loader():
+    from sketchformer_tpu.data.registry import SyntheticLoader
+    from sketchformer_tpu.data.tokenizer import GridTokenizer
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+
+    loader = SyntheticLoader(
+        num_classes=3, sketches_per_epoch=128, batch_size=8,
+        buckets=(64,), tokenizer=GridTokenizer(10), seed=0)
+    cfg = SketchformerConfig(
+        vocab_size=loader.vocab_size, num_classes=3, max_len=64,
+        d_model=32, num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2)
+    model = Sketchformer(cfg)
+    first = loader.get_validation_set(1)[0]
+    params = model.init(
+        jax.random.PRNGKey(0), first["enc"], first["dec_in"])["params"]
+    Z, labels = embed_dataset(model, params, loader.get_validation_set(2))
+    assert Z.shape == (16, 16) and labels.shape == (16,)
+    assert np.isfinite(Z).all()

@@ -98,5 +98,8 @@ def test_synthetic_loader_interface():
     assert len(batches) >= 8
     val = loader.get_validation_set(max_batches=2)
     assert len(val) == 2
-    assert loader.get_validation_set() is val  # cached
+    # cached: same batch objects returned, no re-iteration
+    assert loader.get_validation_set(max_batches=2)[0] is val[0]
+    # asking for more grows the cache
+    assert len(loader.get_validation_set(max_batches=3)) == 3
     assert get_dataloader_by_name("synthetic") is SyntheticLoader
