@@ -135,7 +135,14 @@ def cmd_eval(args) -> int:
 
     model, loader, params = _restore_for_inference(args)
     eval_step = make_eval_step(model)
-    batches = loader.get_validation_set(max_batches=args.max_batches)
+    if args.split == "valid":
+        batches = loader.get_validation_set(max_batches=args.max_batches)
+    else:
+        batches = []
+        for b in loader.batch_iterator(args.split):
+            batches.append(b)
+            if len(batches) >= args.max_batches:
+                break
     acc: Dict[str, float] = {}
     for b in batches:
         m = eval_step(params, b)
@@ -188,6 +195,22 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_sbir(args) -> int:
+    """Gallery retrieval eval: embed a gallery + queries, kNN metrics."""
+    from sketchformer_tpu.infer.encode import embed_dataset
+    from sketchformer_tpu.infer.sbir import retrieval_eval
+
+    model, loader, params = _restore_for_inference(args)
+    batches = loader.get_validation_set(max_batches=args.max_batches)
+    Z, labels = embed_dataset(model, params, batches)
+    metrics = retrieval_eval(Z, labels, Z, labels, exclude_self=True)
+    metrics["gallery_size"] = len(Z)
+    if args.output:
+        np.savez(args.output, embeddings=Z, labels=labels)
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
+    return 0
+
+
 def cmd_prep_data(args) -> int:
     """QuickDraw per-class npz -> class-mixed shards (+ optional codebook)."""
     from sketchformer_tpu.data import stroke3
@@ -195,24 +218,49 @@ def cmd_prep_data(args) -> int:
     from sketchformer_tpu.data.tokenizer import DictionaryTokenizer
 
     sketches, labels, names = [], [], []
+    exts = (".npz", ".ndjson") if args.format == "auto" else (
+        "." + args.format,)
     files = sorted(
-        f for f in os.listdir(args.input_dir) if f.endswith(".npz"))
+        f for f in os.listdir(args.input_dir) if f.endswith(exts))
     if not files:
-        print(f"no .npz files in {args.input_dir}", file=sys.stderr)
+        print(f"no {exts} files in {args.input_dir}", file=sys.stderr)
         return 1
     for ci, fname in enumerate(files):
         names.append(os.path.splitext(fname)[0])
-        with np.load(os.path.join(args.input_dir, fname),
-                     allow_pickle=True, encoding="latin1") as data:
-            for split in ("train", "valid", "test"):
-                if split not in data:
-                    continue
-                for sk in data[split][: args.per_class_limit]:
-                    sk = np.asarray(sk, dtype=np.float32)
+        path = os.path.join(args.input_dir, fname)
+        if fname.endswith(".npz"):
+            # Google sketch-rnn release: per-class npz of stroke-3 arrays
+            with np.load(path, allow_pickle=True, encoding="latin1") as data:
+                for split in ("train", "valid", "test"):
+                    if split not in data:
+                        continue
+                    for sk in data[split][: args.per_class_limit]:
+                        sk = np.asarray(sk, dtype=np.float32)
+                        if args.rdp_epsilon > 0:
+                            sk = stroke3.rdp_simplify(sk, args.rdp_epsilon)
+                        sketches.append(sk)
+                        labels.append(ci)
+        else:
+            # QuickDraw raw/simplified ndjson: one JSON drawing per line,
+            # "drawing" = list of strokes, each [[x...], [y...], (t...)]
+            count = 0
+            with open(path) as f:
+                for line in f:
+                    if args.per_class_limit and count >= args.per_class_limit:
+                        break
+                    rec = json.loads(line)
+                    lines_xy = [
+                        np.stack([s[0], s[1]], axis=1).astype(np.float32)
+                        for s in rec["drawing"] if len(s[0])
+                    ]
+                    if not lines_xy:
+                        continue
+                    sk = stroke3.lines_to_strokes(lines_xy)
                     if args.rdp_epsilon > 0:
                         sk = stroke3.rdp_simplify(sk, args.rdp_epsilon)
                     sketches.append(sk)
                     labels.append(ci)
+                    count += 1
     labels_arr = np.asarray(labels, np.int32)
     write_shards(args.out_dir, sketches, labels_arr, names,
                  shard_size=args.shard_size, seed=args.seed)
@@ -266,6 +314,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("eval", help="evaluate latest checkpoint")
     common(sp)
     sp.add_argument("--max-batches", type=int, default=8)
+    sp.add_argument("--split", default="valid",
+                    choices=["train", "valid", "test"])
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("embed", help="extract bottleneck embeddings")
@@ -273,6 +323,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-batches", type=int, default=8)
     sp.add_argument("--output", default="embeddings.npz")
     sp.set_defaults(fn=cmd_embed)
+
+    sp = sub.add_parser("sbir", help="gallery retrieval eval (top-k, mAP)")
+    common(sp)
+    sp.add_argument("--max-batches", type=int, default=16)
+    sp.add_argument("--output", default=None,
+                    help="optionally dump embeddings npz")
+    sp.set_defaults(fn=cmd_sbir)
 
     sp = sub.add_parser("decode", help="AR reconstruction of a val batch")
     common(sp)
@@ -284,6 +341,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="QuickDraw per-class npz -> mixed shards")
     sp.add_argument("--input-dir", required=True)
     sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--format", default="auto",
+                    choices=["auto", "npz", "ndjson"])
     sp.add_argument("--shard-size", type=int, default=2048)
     sp.add_argument("--per-class-limit", type=int, default=None)
     sp.add_argument("--rdp-epsilon", type=float, default=0.0,

@@ -162,3 +162,53 @@ def test_cli_prep_data_roundtrip(tmp_path):
         1 for split in ("train", "valid", "test")
         for _ in ds.iter_sketches(split))
     assert total == 24
+
+
+def test_cli_prep_data_ndjson(tmp_path):
+    import json as _json
+
+    from sketchformer_tpu.cli import main
+    from sketchformer_tpu.data.shards import ShardedDataset
+
+    in_dir = tmp_path / "raw"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("apple", "bus"):
+        with open(in_dir / f"{name}.ndjson", "w") as f:
+            for _ in range(10):
+                n1, n2 = rng.integers(3, 8, 2)
+                drawing = [
+                    [rng.integers(0, 255, n1).tolist(),
+                     rng.integers(0, 255, n1).tolist()],
+                    [rng.integers(0, 255, n2).tolist(),
+                     rng.integers(0, 255, n2).tolist()],
+                ]
+                f.write(_json.dumps({"drawing": drawing, "word": name}) + "\n")
+    out_dir = str(tmp_path / "shards")
+    rc = main(["prep-data", "--input-dir", str(in_dir), "--out-dir", out_dir,
+               "--shard-size", "8", "--rdp-epsilon", "2.0"])
+    assert rc == 0
+    ds = ShardedDataset(out_dir)
+    assert ds.class_names == ["apple", "bus"]
+    total = sum(1 for split in ("train", "valid", "test")
+                for _ in ds.iter_sketches(split))
+    assert total == 20
+
+
+def test_cli_sbir(tmp_path):
+    from sketchformer_tpu.cli import main
+
+    run_dir = str(tmp_path / "r")
+    common = [
+        "--loader", "synthetic", "--run-dir", run_dir,
+        "--loader-arg", "num_classes=4", "--loader-arg", "batch_size=16",
+        "--loader-arg", "sketches_per_epoch=256",
+        "--loader-arg", "buckets=[64]",
+        "--hparams",
+        "d_model=32,num_layers=1,num_heads=2,dff=64,lowerdim=16,"
+        "num_queries=2,max_len=64,dropout=0.0",
+    ]
+    assert main(["train", *common, "--loop-arg", "total_steps=2",
+                 "--loop-arg", "save_every=2", "--loop-arg", "eval_every=2",
+                 "--loop-arg", "warmup_steps=10", "--notifier", "none"]) == 0
+    assert main(["sbir", *common, "--max-batches", "2"]) == 0
