@@ -148,7 +148,7 @@ class MultiHeadAttention(nn.Module):
         decode: bool = False,
     ) -> jnp.ndarray:
         if self.d_model % self.num_heads:
-            raise ValueError("d_model must divide num_heads")
+            raise ValueError("num_heads must divide d_model")
         head_dim = self.d_model // self.num_heads
         # head-major only pays on the fused-kernel training path
         head_major = self.attn_impl == "pallas" and not decode

@@ -102,19 +102,22 @@ def make_train_step(
     cfg = model.config
     loss_fn = _loss_fn(cfg, w_recon, w_cls)
 
-    apply = model.apply
-    if remat:
-        apply = jax.checkpoint(apply, static_argnums=())
-
     def grads_for(params, batch, step_rng):
-        def compute_loss(p):
-            outputs = apply(
+        def fwd(p):
+            return model.apply(
                 {"params": p},
                 **_model_kwargs(cfg, batch),
                 deterministic=False,
                 rngs={"dropout": step_rng},
             )
-            return loss_fn(outputs, batch)
+
+        if remat:
+            # remat over a params-only closure: batch/rng are captured
+            # residuals; only array-valued inputs pass through checkpoint
+            fwd = jax.checkpoint(fwd)
+
+        def compute_loss(p):
+            return loss_fn(fwd(p), batch)
 
         return jax.value_and_grad(compute_loss, has_aux=True)(params)
 

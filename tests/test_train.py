@@ -120,3 +120,32 @@ def test_grad_accumulation_matches_full_batch():
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 0.05
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_remat_step_runs_and_matches():
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.data.tokenizer import GridTokenizer
+    from sketchformer_tpu.data.registry import SyntheticLoader
+
+    tok = GridTokenizer(resolution=10)
+    loader = SyntheticLoader(
+        num_classes=4, sketches_per_epoch=64, batch_size=8,
+        buckets=(64,), tokenizer=tok, seed=0)
+    cfg = SketchformerConfig(
+        vocab_size=loader.vocab_size, num_classes=4, max_len=64,
+        d_model=32, num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2)
+    model = Sketchformer(cfg)
+    tx = make_optimizer(cfg.d_model, warmup_steps=100)
+    batch = next(loader.batch_iterator("train"))
+    sa = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    sb = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    plain = make_train_step(model, tx)
+    remat = make_train_step(model, tx, remat=True)
+    sa, ma = plain(sa, batch)
+    sb, mb = remat(sb, batch)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-5)
+    # key/bias params have mathematically zero gradient (softmax shift
+    # invariance), so Adam amplifies pure roundoff there -> loose atol
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
