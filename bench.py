@@ -39,6 +39,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+
     from sketchformer_tpu.infer import decode as dec
     from sketchformer_tpu.models import Sketchformer, SketchformerConfig
     from sketchformer_tpu.train.schedule import make_optimizer

@@ -60,18 +60,52 @@ def _waves(rng: np.random.Generator, humps: int, jitter: float) -> List[np.ndarr
 _FAMILIES = (_polygon, _star, _spiral, _waves)
 
 
+def _class_structure(class_id: int) -> dict:
+    """Deterministic per-class structural parameters.
+
+    Every class id gets a DISTINCT structure (family + size + aspect + shear
+    + rotation + marker glyph), so a 345-class synthetic dataset is actually
+    345-way separable — family/size alone would alias classes mod 36 and cap
+    val accuracy near 10%.
+    """
+    srng = np.random.default_rng(class_id * 7919 + 13)
+    return dict(
+        family=int(srng.integers(len(_FAMILIES))),
+        size=3 + int(srng.integers(9)),
+        aspect=0.5 + 1.0 * float(srng.random()),
+        shear=0.8 * float(srng.random()) - 0.4,
+        rotation=2 * np.pi * float(srng.random()),
+        marker_sides=3 + int(srng.integers(4)),
+        marker_angle=2 * np.pi * float(srng.random()),
+        marker_radius=1.5 + 0.8 * float(srng.random()),
+        marker_scale=0.25 + 0.2 * float(srng.random()),
+    )
+
+
 def generate_sketch(
     class_id: int, rng: np.random.Generator, jitter: float = 0.06
 ) -> np.ndarray:
     """One stroke-3 sketch for ``class_id``; structure depends on the id."""
-    fam = _FAMILIES[class_id % len(_FAMILIES)]
-    size = 3 + (class_id // len(_FAMILIES)) % 9
+    s = _class_structure(class_id)
+    fam = _FAMILIES[s["family"]]
     if fam is _spiral:
-        lines = fam(rng, 1.0 + 0.35 * size, jitter)
+        lines = fam(rng, 1.0 + 0.35 * s["size"], jitter)
     else:
-        lines = fam(rng, size, jitter)
+        lines = fam(rng, s["size"], jitter)
+    # class-identifying marker glyph outside the main shape
+    m_ang = s["marker_angle"] + 0.05 * rng.standard_normal()
+    center = s["marker_radius"] * np.asarray(
+        [np.cos(m_ang), np.sin(m_ang)], dtype=np.float32)
+    marker = _polygon(rng, s["marker_sides"], jitter)[0] * s["marker_scale"] + center
+    lines = lines + [marker.astype(np.float32)]
+    # class-deterministic affine (aspect, shear, rotation) + instance noise
+    rot = s["rotation"] + 0.08 * rng.standard_normal()
+    c, sn = np.cos(rot), np.sin(rot)
+    affine = np.asarray(
+        [[c, -sn], [sn, c]], np.float32) @ np.asarray(
+        [[s["aspect"], s["shear"]], [0.0, 1.0]], np.float32)
     scale = rng.uniform(20.0, 60.0)
-    lines = [l * scale for l in lines]
+    lines = [(l @ affine.T) * scale for l in lines]
     return stroke3.lines_to_strokes(lines)
 
 

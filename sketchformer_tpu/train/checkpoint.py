@@ -66,6 +66,18 @@ class CheckpointManager:
         with open(path) as f:
             return json.load(f)
 
+    def save_meta(self, meta: dict) -> None:
+        """Run metadata beyond the model config (e.g. prng impl)."""
+        with open(os.path.join(self.run_dir, "run_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+
+    def load_meta(self) -> dict:
+        path = os.path.join(self.run_dir, "run_meta.json")
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)
+
     # -- state save/restore ------------------------------------------------
     def save(self, state: TrainState, force: bool = False) -> bool:
         step = int(state.step)

@@ -51,6 +51,10 @@ class TrainLoopConfig:
     accum_steps: int = 1
     profile_steps: int = 0      # trace steps [10, 10+N) with jax.profiler
     recon_grid_every: int = 0   # decode+render a val recon grid every N steps
+    # rbg dropout masks measured 28% faster steps than threefry on v5e.
+    # Keep one impl per run dir: the rng key is checkpointed and its
+    # representation differs across impls.
+    prng_impl: str = "rbg"
 
 
 def run_training(
@@ -62,8 +66,41 @@ def run_training(
     notifier: Optional[Notifier] = None,
     max_eval_batches: int = 8,
 ) -> Dict[str, float]:
-    """Train to ``total_steps``; returns final eval metrics."""
+    """Train to ``total_steps``; returns final eval metrics.
+
+    The PRNG impl (``loop_cfg.prng_impl``) is applied as a scoped global:
+    raw uint32 keys carry no impl tag, so the choice must be process-global
+    while keys are created/used — it is restored on exit so surrounding
+    code (and in-process tests) keep their impl.
+    """
+    import contextlib
+
     loop_cfg = loop_cfg or TrainLoopConfig()
+
+    @contextlib.contextmanager
+    def scoped_prng():
+        old = jax.config.jax_default_prng_impl
+        jax.config.update("jax_default_prng_impl", loop_cfg.prng_impl)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_default_prng_impl", old)
+
+    with scoped_prng():
+        return _run_training(
+            model, loader, run_dir, loop_cfg, mesh, notifier,
+            max_eval_batches)
+
+
+def _run_training(
+    model: Sketchformer,
+    loader,
+    run_dir: str,
+    loop_cfg: TrainLoopConfig,
+    mesh=None,
+    notifier: Optional[Notifier] = None,
+    max_eval_batches: int = 8,
+) -> Dict[str, float]:
     notifier = notifier or NullNotifier()
     cfg = model.config
 
@@ -95,6 +132,7 @@ def run_training(
 
     ckpt = CheckpointManager(run_dir, save_interval_steps=loop_cfg.save_every)
     ckpt.save_config(cfg)
+    ckpt.save_meta({"prng_impl": loop_cfg.prng_impl})
     if loop_cfg.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     current = {"state": state}
