@@ -130,13 +130,20 @@ class HeadOutProjection(nn.Module):
 
 
 class MultiHeadAttention(nn.Module):
-    """MHA with separate q and kv inputs (self- or cross-attention)."""
+    """MHA with separate q and kv inputs (self- or cross-attention).
+
+    ``qk_norm`` applies per-head LayerNorm to q and k before the dot
+    product (Gilmer et al. / ViT-22B recipe) — bounds attention logits and
+    prevents the logit-growth divergence observed in bf16 pretraining at
+    high Noam peak (grad norms crept 10->60->1e7 just past warmup).
+    """
 
     num_heads: int
     d_model: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(
@@ -157,6 +164,11 @@ class MultiHeadAttention(nn.Module):
         q = proj("query")(q_inp)
         k = proj("key")(kv_inp)
         v = proj("value")(kv_inp)
+        if self.qk_norm:
+            # normalizes the head_dim axis; layout-agnostic (last axis in
+            # both (B,T,H,D) and (B,H,T,D))
+            q = nn.LayerNorm(dtype=self.dtype, name="q_norm")(q)
+            k = nn.LayerNorm(dtype=self.dtype, name="k_norm")(k)
 
         if decode:
             # Static-shape KV cache, stored HEAD-FOLDED as (B*H, Tmax, Dh) so

@@ -60,6 +60,7 @@ class SketchformerConfig:
     num_mixtures: int = 20
     attn_impl: str = "xla"         # xla | pallas
     norm_first: bool = True
+    qk_norm: bool = False          # per-head q/k LayerNorm (stability)
     dtype: str = "float32"         # trunk compute dtype; bfloat16 on TPU
 
     @property
@@ -92,13 +93,13 @@ class Sketchformer(nn.Module):
             self.out_head = TokenHead(cfg.vocab_size, dt)
         self.encoder = Encoder(
             cfg.num_layers, cfg.num_heads, cfg.d_model, cfg.dff,
-            cfg.dropout, dt, cfg.attn_impl, cfg.norm_first)
+            cfg.dropout, dt, cfg.attn_impl, cfg.norm_first, cfg.qk_norm)
         self.bottleneck = Bottleneck(
             cfg.bottleneck_mode, cfg.lowerdim, cfg.num_queries,
             cfg.d_model, cfg.num_heads, cfg.dropout, dt)
         self.decoder = Decoder(
             cfg.num_layers, cfg.num_heads, cfg.d_model, cfg.dff,
-            cfg.dropout, dt, cfg.attn_impl, cfg.norm_first)
+            cfg.dropout, dt, cfg.attn_impl, cfg.norm_first, cfg.qk_norm)
         self.classifier = ClassifierHead(
             cfg.num_classes, cfg.lowerdim, cfg.dropout, dt)
 

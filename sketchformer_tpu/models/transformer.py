@@ -48,13 +48,14 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     norm_first: bool = True
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
         mha = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout, self.dtype,
-            self.attn_impl, name="self_attn")
+            self.attn_impl, self.qk_norm, name="self_attn")
         ffn = FeedForward(self.d_model, self.dff, self.dropout, self.dtype,
                           name="ffn")
         if self.norm_first:
@@ -75,6 +76,7 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     norm_first: bool = True
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, memory, self_mask=None, cross_mask=None,
@@ -82,10 +84,11 @@ class DecoderLayer(nn.Module):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
         self_attn = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout, self.dtype,
-            self.attn_impl, name="self_attn")
+            self.attn_impl, self.qk_norm, name="self_attn")
         cross_attn = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout, self.dtype,
-            "xla", name="cross_attn")  # cross seq is short (bottleneck) — XLA
+            "xla", self.qk_norm,
+            name="cross_attn")  # cross seq is short (bottleneck) — XLA
         ffn = FeedForward(self.d_model, self.dff, self.dropout, self.dtype,
                           name="ffn")
         if self.norm_first:
@@ -114,6 +117,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     norm_first: bool = True
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -122,7 +126,7 @@ class Encoder(nn.Module):
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.num_heads, self.d_model, self.dff, self.dropout,
-                self.dtype, self.attn_impl, self.norm_first,
+                self.dtype, self.attn_impl, self.norm_first, self.qk_norm,
                 name=f"layer_{i}")(x, mask=mask, deterministic=deterministic)
         if self.norm_first:
             x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
@@ -138,6 +142,7 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "xla"
     norm_first: bool = True
+    qk_norm: bool = False
 
     @nn.compact
     def __call__(self, x, memory, self_mask=None, cross_mask=None,
@@ -147,7 +152,7 @@ class Decoder(nn.Module):
         for i in range(self.num_layers):
             x = DecoderLayer(
                 self.num_heads, self.d_model, self.dff, self.dropout,
-                self.dtype, self.attn_impl, self.norm_first,
+                self.dtype, self.attn_impl, self.norm_first, self.qk_norm,
                 name=f"layer_{i}")(
                     x, memory, self_mask=self_mask, cross_mask=cross_mask,
                     deterministic=deterministic, decode=decode)

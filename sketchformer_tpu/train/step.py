@@ -91,6 +91,7 @@ def make_train_step(
     mesh: Optional[jax.sharding.Mesh] = None,
     remat: bool = False,
     accum_steps: int = 1,
+    guard_nonfinite: bool = True,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, Any]]]:
     """Build the jitted train step.
 
@@ -98,6 +99,12 @@ def make_train_step(
     split into that many slices and gradients are averaged in an on-device
     ``lax.scan`` before ONE optimizer update — the memory knob for
     larger-than-HBM effective batches (SURVEY.md §7 M3).
+
+    ``guard_nonfinite`` (default on) REJECTS any update whose global grad
+    norm is non-finite: params and optimizer state are kept unchanged for
+    that step (metrics gain ``skipped_nonfinite``). A single inf/nan step
+    otherwise poisons Adam's moments permanently — observed as an
+    unrecoverable divergence in an early bf16 pretraining run.
     """
     cfg = model.config
     loss_fn = _loss_fn(cfg, w_recon, w_cls)
@@ -152,9 +159,17 @@ def make_train_step(
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(new_params, new_opt, state.step + 1, state.rng)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        grad_norm = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        if guard_nonfinite:
+            ok = jnp.isfinite(grad_norm)
+            keep = lambda new, old: jax.tree.map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_params = keep(new_params, state.params)
+            new_opt = keep(new_opt, state.opt_state)
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
+        new_state = TrainState(new_params, new_opt, state.step + 1, state.rng)
         return new_state, metrics
 
     if mesh is not None:

@@ -149,3 +149,47 @@ def test_remat_step_runs_and_matches():
     # invariance), so Adam amplifies pure roundoff there -> loose atol
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_nonfinite_guard_rejects_bad_update():
+    import jax.numpy as jnp
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+
+    cfg = SketchformerConfig(
+        vocab_size=1, num_classes=4, max_len=16, d_model=32, num_layers=1,
+        num_heads=2, dff=64, dropout=0.0, lowerdim=16, num_queries=2,
+        use_continuous=True, num_mixtures=3)
+    model = Sketchformer(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "enc": rng.standard_normal((4, 16, 3)).astype(np.float32),
+        "enc_mask": np.ones((4, 16), np.float32),
+        "dec_in": rng.standard_normal((4, 16, 5)).astype(np.float32),
+        "tgt_xy": rng.standard_normal((4, 16, 2)).astype(np.float32),
+        "tgt_pen": rng.integers(0, 3, (4, 16)).astype(np.int32),
+        "dec_mask": np.ones((4, 16), np.float32),
+        "label": rng.integers(0, 4, 4).astype(np.int32),
+    }
+    tx = make_optimizer(cfg.d_model, warmup_steps=10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx)
+    params_before = jax.tree.map(np.asarray, state.params)
+
+    bad = dict(batch)
+    bad["enc"] = batch["enc"].copy()
+    bad["enc"][0, 0, 0] = np.nan
+    state, m = step(state, bad)
+    assert float(m["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.step) == 1  # step still advances
+
+    # a good batch then updates normally
+    state, m = step(state, batch)
+    assert float(m["skipped_nonfinite"]) == 0.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params_before),
+                        jax.tree.leaves(state.params)))
+    assert changed
