@@ -78,7 +78,8 @@ def test_eval_step_runs_and_matches_train_metrics_keys():
     eval_step = make_eval_step(model)
     val = loader.get_validation_set(max_batches=1)[0]
     m = eval_step(state.params, val)
-    assert set(hist[0]) - {"grad_norm"} == set(m.keys() if isinstance(m, dict) else m)
+    train_only = {"grad_norm", "skipped_nonfinite"}
+    assert set(hist[0]) - train_only == set(m.keys() if isinstance(m, dict) else m)
     assert np.isfinite(float(m["loss"]))
 
 
