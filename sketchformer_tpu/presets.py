@@ -62,7 +62,7 @@ CONT2CONT_MDN = _reg(Preset(
     model_overrides=dict(
         d_model=256, num_layers=8, num_heads=8, dff=512, lowerdim=256,
         max_len=192, dropout=0.1, use_continuous=True, num_mixtures=20,
-        dtype="bfloat16", attn_impl="pallas"),
+        dtype="bfloat16", attn_impl="pallas", qk_norm=True),
     loader="synthetic",
     loader_kwargs=dict(
         num_classes=32, sketches_per_epoch=8192, batch_size=64,
@@ -110,7 +110,7 @@ PRETRAIN_FULL = _reg(Preset(
     model_overrides=dict(
         d_model=256, num_layers=8, num_heads=8, dff=512, lowerdim=256,
         max_len=192, dropout=0.1, num_classes=345, dtype="bfloat16",
-        attn_impl="pallas"),
+        attn_impl="pallas", qk_norm=True),
     loader="distributed_stroke3",
     loader_kwargs=dict(batch_size=256, buckets=(64, 96, 128, 192),
                        token_mode=True),

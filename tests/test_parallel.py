@@ -108,3 +108,26 @@ def test_bf16_sharded_step_runs():
     step = make_train_step(model, tx, mesh=mesh)
     sharded, m = step(sharded, shard_batch(batches[0], mesh))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_sharded_step_with_pallas_matches_single_device():
+    """GSPMD + pallas custom calls: correctness must hold (XLA may insert
+    gathers around the custom call; multi-chip perf would use shard_map —
+    documented next-round item)."""
+    model, tx, state0, batches = _setup(model_kwargs={"attn_impl": "pallas"})
+    step_ref = make_train_step(model, tx)
+    s = state0  # donated each step; never reuse a consumed state
+    ref_losses = []
+    for b in batches[:2]:
+        s, m = step_ref(s, b)
+        ref_losses.append(float(m["loss"]))
+
+    mesh = make_mesh()
+    _, _, state1, _ = _setup(model_kwargs={"attn_impl": "pallas"})
+    sharded = shard_state(state1, mesh)
+    step_sh = make_train_step(model, tx, mesh=mesh)
+    got = []
+    for b in batches[:2]:
+        sharded, m = step_sh(sharded, shard_batch(b, mesh))
+        got.append(float(m["loss"]))
+    np.testing.assert_allclose(ref_losses, got, rtol=2e-4)
