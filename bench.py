@@ -45,6 +45,10 @@ def main() -> None:
     from sketchformer_tpu.train.schedule import make_optimizer
     from sketchformer_tpu.train.step import create_train_state, make_train_step
 
+    # bench runs as its own process: global rbg is safe here and matches the
+    # training default (28% faster steps than threefry dropout)
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     on_tpu = jax.default_backend() == "tpu"
     SEQ = 96          # typical RDP-simplified QuickDraw token length bucket
     ENC_BATCH = 2048 if on_tpu else 64
@@ -119,6 +123,18 @@ def main() -> None:
     extras["decode_p50_ms"] = round(float(np.percentile(lat, 50)) * 1e3, 2)
     extras["decode_sketches_per_sec"] = round(
         DEC_BATCH / float(np.percentile(lat, 50)), 1)
+
+    if on_tpu:
+        # throughput-oriented decode: large batch fills the MXU rows that a
+        # latency batch leaves idle
+        BB = 512
+        enc_b = jnp.asarray(tok_batch(BB, DEC_LEN))
+        np.asarray(decode(params, enc_b))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            np.asarray(decode(params, enc_b))
+        extras["decode_batch512_sketches_per_sec"] = round(
+            5 * BB / (time.perf_counter() - t0), 1)
 
     # --- train-step throughput (state chains via donation) --------------
     tx = make_optimizer(cfg.d_model)

@@ -35,6 +35,23 @@ def _parse_kv(items) -> Dict[str, Any]:
     return out
 
 
+def _resolve_loader_config(args):
+    """(loader_name, loader_kwargs) from preset and/or explicit flags."""
+    from sketchformer_tpu.presets import get_preset
+
+    loader_name = args.loader
+    loader_kwargs: Dict[str, Any] = {}
+    if args.preset:
+        p = get_preset(args.preset)
+        loader_name = loader_name or p.loader
+        loader_kwargs.update(p.loader_kwargs)
+    loader_name = loader_name or "synthetic"
+    loader_kwargs.update(_parse_kv(getattr(args, "loader_arg", None)))
+    if getattr(args, "data_dir", None):
+        loader_kwargs["data_dir"] = args.data_dir
+    return loader_name, loader_kwargs
+
+
 def _build_from_args(args):
     """Resolve (model, loader, loop_cfg) from preset and/or explicit flags."""
     from sketchformer_tpu.data.registry import get_dataloader_by_name
@@ -43,21 +60,13 @@ def _build_from_args(args):
     from sketchformer_tpu.train.loop import TrainLoopConfig
 
     model_over: Dict[str, Any] = {}
-    loader_name = args.loader
-    loader_kwargs: Dict[str, Any] = {}
     loop_over: Dict[str, Any] = {}
-
     if args.preset:
         p = get_preset(args.preset)
         model_over.update(p.model_overrides)
-        loader_name = loader_name or p.loader
-        loader_kwargs.update(p.loader_kwargs)
         loop_over.update(p.loop_overrides)
-    loader_name = loader_name or "synthetic"
 
-    loader_kwargs.update(_parse_kv(getattr(args, "loader_arg", None)))
-    if getattr(args, "data_dir", None):
-        loader_kwargs["data_dir"] = args.data_dir
+    loader_name, loader_kwargs = _resolve_loader_config(args)
     loader = get_dataloader_by_name(loader_name)(**loader_kwargs)
 
     hps = SketchformerConfig.default_hparams()
@@ -99,7 +108,18 @@ def _restore_for_inference(args):
         raise FileNotFoundError(f"no config.json in {args.run_dir}")
     cfg = SketchformerConfig(**saved)
     model = Sketchformer(cfg)
-    _, loader, _ = _build_from_args(args)
+    meta = ckpt.load_meta()
+    explicit = bool(args.loader or args.preset or
+                    getattr(args, "loader_arg", None) or
+                    getattr(args, "data_dir", None))
+    if not explicit and "loader" in meta:
+        # rebuild the run's own loader/tokenizer from persisted data config
+        from sketchformer_tpu.data.registry import get_dataloader_by_name
+
+        loader = get_dataloader_by_name(meta["loader"])(
+            **meta["loader_kwargs"])
+    else:
+        _, loader, _ = _build_from_args(args)
     first = next(loader.batch_iterator("valid"))
     tx = make_optimizer(cfg.d_model)
     template = create_train_state(model, tx, jax.random.PRNGKey(0), first)
@@ -124,6 +144,14 @@ def cmd_train(args) -> int:
 
     model, loader, loop_cfg = _build_from_args(args)
     loop_cfg.prng_impl = args.prng
+    # persist the data config so inference subcommands can rebuild the SAME
+    # loader/tokenizer without the user re-passing every flag
+    from sketchformer_tpu.train.checkpoint import CheckpointManager
+
+    loader_name, loader_kwargs = _resolve_loader_config(args)
+    mgr = CheckpointManager(args.run_dir)
+    mgr.save_meta({"loader": loader_name, "loader_kwargs": loader_kwargs})
+    mgr.close()
     mesh = None
     if args.mesh:
         from sketchformer_tpu.parallel.mesh import make_mesh
@@ -154,6 +182,9 @@ def cmd_eval(args) -> int:
         m = eval_step(params, b)
         for k, v in m.items():
             acc[k] = acc.get(k, 0.0) + float(v)
+    if not batches:
+        print(f"no batches in split {args.split!r}", file=sys.stderr)
+        return 1
     out = {k: round(v / len(batches), 4) for k, v in acc.items()}
     print(json.dumps(out))
     return 0

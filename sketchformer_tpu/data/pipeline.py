@@ -200,9 +200,10 @@ class BucketBatcher:
     def _emit(self, bucket: int) -> Dict[str, np.ndarray]:
         sketches, labels = self._pending[bucket]
         self._pending[bucket] = ([], [])
-        while len(sketches) < self.batch_size:  # pad short final batches
-            sketches.append(sketches[len(sketches) % max(len(labels), 1)])
-            labels.append(labels[len(labels) % max(len(labels), 1)])
+        n_real = len(sketches)
+        for k in range(self.batch_size - n_real):  # pad short final batches
+            sketches.append(sketches[k % n_real])  # cycle through ALL reals
+            labels.append(labels[k % n_real])
         labels_arr = np.asarray(labels, dtype=np.int32)
         if self.token_mode:
             return make_batch_tok(self.tokenizer, sketches, labels_arr, bucket)
@@ -258,6 +259,7 @@ class Prefetcher:
 
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
+        self._error = None
 
         def worker() -> None:
             try:
@@ -265,6 +267,8 @@ class Prefetcher:
                     if self._stop.is_set():
                         return
                     self._q.put(item)
+            except BaseException as e:  # surface producer errors to consumer
+                self._error = e
             finally:
                 self._q.put(self._SENTINEL)
 
@@ -277,6 +281,9 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._SENTINEL:
+            if self._error is not None:
+                raise RuntimeError(
+                    "data pipeline worker failed") from self._error
             raise StopIteration
         return item
 

@@ -59,6 +59,7 @@ class BaseLoader:
         self.tokenizer = tokenizer or GridTokenizer()
         self.seed = seed
         self._val_cache: Optional[List[Dict[str, np.ndarray]]] = None
+        self._val_exhausted = False
 
     # subclasses implement:
     def iter_pairs(self, split: str, epoch: int = 0):
@@ -83,13 +84,18 @@ class BaseLoader:
     def get_validation_set(
         self, max_batches: int = 8
     ) -> List[Dict[str, np.ndarray]]:
-        if self._val_cache is None or len(self._val_cache) < max_batches:
+        cached_enough = self._val_cache is not None and (
+            len(self._val_cache) >= max_batches or self._val_exhausted)
+        if not cached_enough:
             out = []
+            exhausted = True
             for batch in self.batch_iterator("valid"):
                 out.append(batch)
                 if len(out) >= max_batches:
+                    exhausted = False
                     break
             self._val_cache = out
+            self._val_exhausted = exhausted
         return self._val_cache[:max_batches]
 
     @property

@@ -32,6 +32,14 @@ from sketchformer_tpu.ops import mdn
 NEG_INF = -1e9
 
 
+def _check_len(cfg, max_len):
+    if max_len > cfg.max_len:
+        raise ValueError(
+            f"decode max_len={max_len} exceeds model max_len={cfg.max_len} "
+            "(posenc table and KV cache are sized by the model config)")
+    return max_len
+
+
 def _build_cache(model, params, batch_size, memory, memory_mask):
     _, vars_ = model.apply(
         {"params": params}, batch_size, memory, memory_mask,
@@ -58,7 +66,7 @@ def make_token_decoder(
     pipeline's ``dec_tgt`` layout so tokenizer.decode applies directly.
     """
     cfg = model.config
-    T = max_len or cfg.max_len
+    T = _check_len(cfg, max_len or cfg.max_len)
 
     def decode(params, enc):
         B = enc.shape[0]
@@ -75,7 +83,7 @@ def make_token_decoder_from_z(
 ) -> Callable:
     """Returns jitted ``decode(params, z) -> ids`` from stored embeddings."""
     cfg = model.config
-    T = max_len or cfg.max_len
+    T = _check_len(cfg, max_len or cfg.max_len)
 
     def decode(params, z):
         memory = _memory_from_z(model, params, z)
@@ -126,7 +134,7 @@ def make_cont_decoder(
     ``temperature == 0`` -> greedy (argmax component mean / pen state).
     """
     cfg = model.config
-    T = max_len or cfg.max_len
+    T = _check_len(cfg, max_len or cfg.max_len)
     greedy = temperature <= 0.0
 
     def decode(params, enc, enc_mask, rng):
@@ -146,7 +154,7 @@ def make_cont_decoder_from_z(
     temperature: float = 0.0,
 ) -> Callable:
     cfg = model.config
-    T = max_len or cfg.max_len
+    T = _check_len(cfg, max_len or cfg.max_len)
     greedy = temperature <= 0.0
 
     def decode(params, z, rng):

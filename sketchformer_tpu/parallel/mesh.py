@@ -14,8 +14,9 @@ This module is the TPU-native parallel substrate the north star mandates:
   ~10-30M params and fits on one chip with room to spare — PP/EP would be
   pure overhead (SURVEY.md §2 records the decision).
 
-Mesh layout note: ``data`` is the fastest-varying (innermost) axis so DP
-gradient all-reduces ride contiguous ICI neighbors.
+Mesh layout note: ``model`` is the fastest-varying (innermost) axis so the
+latency-sensitive TP collectives ride contiguous ICI neighbors; DP gradient
+all-reduces (bandwidth-bound, overlappable) span the outer axis.
 """
 
 from __future__ import annotations

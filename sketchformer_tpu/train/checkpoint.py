@@ -67,9 +67,12 @@ class CheckpointManager:
             return json.load(f)
 
     def save_meta(self, meta: dict) -> None:
-        """Run metadata beyond the model config (e.g. prng impl)."""
+        """Run metadata beyond the model config (e.g. prng impl, loader
+        config). Merges with any existing metadata (multiple writers)."""
+        merged = self.load_meta()
+        merged.update(meta)
         with open(os.path.join(self.run_dir, "run_meta.json"), "w") as f:
-            json.dump(meta, f, indent=2)
+            json.dump(merged, f, indent=2)
 
     def load_meta(self) -> dict:
         path = os.path.join(self.run_dir, "run_meta.json")

@@ -154,6 +154,8 @@ def _run_training(
                 acc[k] = acc.get(k, 0.0) + float(v)
         return {f"val_{k}": v / max(len(batches), 1) for k, v in acc.items()}
 
+    decoder_cache = {}
+
     def render_recon_grid(step):
         """Decode a val batch through the cached AR path -> image grid."""
         if cfg.use_continuous:
@@ -162,8 +164,9 @@ def _run_training(
         from sketchformer_tpu.utils.metrics import reconstruction_grid
 
         val = loader.get_validation_set(max_batches=1)[0]
-        ids = dec.make_token_decoder(model)(current["state"].params,
-                                            val["enc"])
+        if "tok" not in decoder_cache:  # build+jit ONCE per run
+            decoder_cache["tok"] = dec.make_token_decoder(model)
+        ids = decoder_cache["tok"](current["state"].params, val["enc"])
         recon = dec.tokens_to_sketches(loader.tokenizer, np.asarray(ids))
         orig = [loader.tokenizer.decode(row) for row in np.asarray(val["enc"])]
         grid = reconstruction_grid(orig, recon)
@@ -171,17 +174,18 @@ def _run_training(
         notifier.notify(f"reconstruction grid @ step {step}", image=grid)
 
     profiling = False
+    start_step = step_i  # profile trigger is relative (resume-safe)
     batch = first
     while step_i < loop_cfg.total_steps:
         if loop_cfg.profile_steps:
-            if step_i == 10 and not profiling:
+            if step_i == start_step + 10 and not profiling:
                 try:
                     jax.profiler.start_trace(
                         os.path.join(run_dir, "profile"))
                     profiling = True
                 except Exception:
                     loop_cfg.profile_steps = 0
-            elif profiling and step_i >= 10 + loop_cfg.profile_steps:
+            elif profiling and step_i >= start_step + 10 + loop_cfg.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
                 loop_cfg.profile_steps = 0
@@ -204,7 +208,10 @@ def _run_training(
             notifier.notify(f"step {step_i}", scalars=last_metrics)
         if loop_cfg.recon_grid_every and step_i % loop_cfg.recon_grid_every == 0:
             render_recon_grid(step_i)
-        ckpt.save(state)  # manager applies save_interval_steps policy
+        if step_i % loop_cfg.save_every == 0:
+            # host-side gate BEFORE touching the manager: ckpt.save reads
+            # int(state.step), which would force a device sync every step
+            ckpt.save(state)
         batch = next(stream)
 
     final = run_eval()

@@ -212,3 +212,56 @@ def test_cli_sbir(tmp_path):
                  "--loop-arg", "save_every=2", "--loop-arg", "eval_every=2",
                  "--loop-arg", "warmup_steps=10", "--notifier", "none"]) == 0
     assert main(["sbir", *common, "--max-batches", "2"]) == 0
+
+
+def test_cli_inference_uses_persisted_loader_config(tmp_path):
+    """eval/decode without re-passing loader flags must rebuild the run's
+    own loader (regression: defaults silently evaluated the wrong data)."""
+    from sketchformer_tpu.cli import main
+
+    run_dir = str(tmp_path / "r")
+    assert main([
+        "train", "--loader", "synthetic", "--run-dir", run_dir,
+        "--loader-arg", "num_classes=7", "--loader-arg", "batch_size=8",
+        "--loader-arg", "sketches_per_epoch=128",
+        "--loader-arg", "buckets=[64]",
+        "--hparams",
+        "d_model=32,num_layers=1,num_heads=2,dff=64,lowerdim=16,"
+        "num_queries=2,max_len=64,dropout=0.0,num_classes=7",
+        "--loop-arg", "total_steps=2", "--loop-arg", "save_every=2",
+        "--loop-arg", "eval_every=2", "--loop-arg", "warmup_steps=10",
+        "--notifier", "none",
+    ]) == 0
+    meta = json.load(open(os.path.join(run_dir, "run_meta.json")))
+    assert meta["loader"] == "synthetic"
+    assert meta["loader_kwargs"]["num_classes"] == 7
+    # bare eval: no loader flags at all
+    assert main(["eval", "--run-dir", run_dir, "--max-batches", "1"]) == 0
+
+
+def test_bucket_pad_cycles_all_sketches():
+    from sketchformer_tpu.data.pipeline import BucketBatcher
+    from sketchformer_tpu.data.tokenizer import GridTokenizer
+    from sketchformer_tpu.data import synthetic
+
+    b = BucketBatcher(batch_size=6, buckets=(64,), token_mode=True,
+                      tokenizer=GridTokenizer(10))
+    rng = np.random.default_rng(0)
+    for c in range(3):
+        assert b.add(synthetic.generate_sketch(c, rng), c) is None
+    (batch,) = list(b.drain())
+    # padding cycles 0,1,2 - not only sketch 0
+    np.testing.assert_array_equal(batch["label"], [0, 1, 2, 0, 1, 2])
+
+
+def test_prefetcher_surfaces_worker_errors():
+    from sketchformer_tpu.data.pipeline import Prefetcher
+
+    def bad_gen():
+        yield 1
+        raise IOError("shard corrupted")
+
+    p = Prefetcher(bad_gen(), depth=2)
+    assert next(p) == 1
+    with pytest.raises(RuntimeError, match="pipeline worker failed"):
+        next(p)
