@@ -39,9 +39,13 @@ def _use_interpret() -> bool:
 
 
 def _rows_per_cell(BH: int, Tmax: int, D: int) -> int:
-    """Cache rows per grid cell: amortize per-cell overhead under a VMEM
-    budget (2 panes of (G, Tmax, D) f32 within ~4 MB)."""
-    budget = 1024 * 1024
+    """Cache rows per grid cell. Grid-cell count is the decode bottleneck
+    (each cell costs ~1us of fixed overhead and a full AR decode issues
+    layers x steps x cells of them), so pack as many rows per cell as the
+    VMEM budget allows: ~2 MB of f32 K/V panes per cell keeps total usage
+    (double-buffered bf16 inputs + in-kernel f32 copies + products) under
+    the 16 MB scoped limit."""
+    budget = 2 * 1024 * 1024
     per_row = 2 * Tmax * D * 4
     g = max(1, budget // max(per_row, 1))
     while g > 1 and BH % g:
