@@ -62,7 +62,7 @@ def main() -> None:
     first = loader.get_validation_set(max_batches=1)[0]
     template = create_train_state(
         model, make_optimizer(cfg.d_model), jax.random.PRNGKey(0), first)
-    params = ckpt.restore(template).params
+    params = ckpt.restore(template).params  # adapts template rng via meta
     ckpt.close()
 
     # 3. embed + classify --------------------------------------------------

@@ -123,12 +123,7 @@ def _restore_for_inference(args):
     first = next(loader.batch_iterator("valid"))
     tx = make_optimizer(cfg.d_model)
     template = create_train_state(model, tx, jax.random.PRNGKey(0), first)
-    # the checkpointed rng key's raw shape depends on the run's prng impl
-    impl = ckpt.load_meta().get("prng_impl")
-    if impl:
-        shape = {"threefry2x32": (2,), "rbg": (4,), "unsafe_rbg": (4,)}[impl]
-        template.rng = jax.numpy.zeros(shape, jax.numpy.uint32)
-    state = ckpt.restore(template)
+    state = ckpt.restore(template)  # adapts template rng via run_meta
     ckpt.close()
     return model, loader, state.params
 

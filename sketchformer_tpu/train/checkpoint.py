@@ -97,10 +97,20 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    _KEY_SHAPES = {"threefry2x32": (2,), "rbg": (4,), "unsafe_rbg": (4,)}
+
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.ckpt_dir}")
+        # the checkpointed raw rng key's shape depends on the run's prng
+        # impl (run_meta.json); adapt the template so any caller restores
+        # correctly regardless of its own impl
+        impl = self.load_meta().get("prng_impl")
+        if impl in self._KEY_SHAPES:
+            import jax.numpy as jnp
+
+            template.rng = jnp.zeros(self._KEY_SHAPES[impl], jnp.uint32)
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(
