@@ -104,3 +104,33 @@ def test_decode_ignores_stale_cache_tail():
     vc2 = vc.at[:, 20:].set(-999.0)
     b = decode_attention(q, kc2, vc2, jnp.int32(20))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flash_flagship_shapes():
+    """Flagship geometry: 2 heads x 128 head_dim (lane-filling config)."""
+    rng = np.random.default_rng(7)
+    q, k, v = _qkv(rng, B=2, T=96, H=2, D=128)
+    mask = _mask(rng, B=2, T=96)
+    ref = dot_product_attention(q, k, v, mask=mask)
+    got = flash_attention(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+    gr = jax.grad(lambda q, k, v: (
+        dot_product_attention(q, k, v, mask=mask) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(lambda q, k, v: (
+        flash_attention(q, k, v, mask=mask) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_decode_flagship_shapes():
+    rng = np.random.default_rng(8)
+    BH, Tmax, D = 4, 200, 128  # max_len+8 padded cache, head_dim 128
+    kc = jnp.asarray(rng.standard_normal((BH, Tmax, D)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((BH, Tmax, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((BH, 1, D)).astype(np.float32))
+    for L in (1, 77, 200):
+        ref = cached_decode_attention(q, kc, vc, jnp.int32(L), impl="xla")
+        got = decode_attention(q, kc, vc, jnp.int32(L))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)

@@ -103,3 +103,29 @@ def test_synthetic_loader_interface():
     # asking for more grows the cache
     assert len(loader.get_validation_set(max_batches=3)) == 3
     assert get_dataloader_by_name("synthetic") is SyntheticLoader
+
+
+def test_distributed_loader_with_fitted_dictionary(tmp_path):
+    """prep-data --fit-dictionary -> loader with tokenizer_kind=dictionary."""
+    from sketchformer_tpu.cli import main
+    from sketchformer_tpu.data.registry import get_dataloader_by_name
+
+    in_dir = tmp_path / "qd"
+    in_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for ci, name in enumerate(["a", "b"]):
+        sks = [synthetic.generate_sketch(ci, rng) for _ in range(12)]
+        np.savez(in_dir / f"{name}.npz",
+                 train=np.asarray(sks[:10], dtype=object),
+                 valid=np.asarray(sks[10:], dtype=object))
+    out_dir = str(tmp_path / "shards")
+    assert main(["prep-data", "--input-dir", str(in_dir),
+                 "--out-dir", out_dir, "--shard-size", "8",
+                 "--fit-dictionary", "--dict-size", "32"]) == 0
+    loader = get_dataloader_by_name("distributed_stroke3")(
+        out_dir, tokenizer_kind="dictionary",
+        dictionary_path=out_dir + "/dictionary.npz",
+        batch_size=4, buckets=(64,))
+    assert loader.vocab_size == 36  # 32 + specials
+    batch = next(loader.batch_iterator("train"))
+    assert batch["enc"].max() < 36
