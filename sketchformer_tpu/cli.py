@@ -228,18 +228,83 @@ def cmd_decode(args) -> int:
 
 
 def cmd_sbir(args) -> int:
-    """Gallery retrieval eval: embed a gallery + queries, kNN metrics."""
+    """Gallery retrieval eval: embed a gallery + queries, kNN metrics.
+
+    Default protocol: DISJOINT query/gallery halves (query sketch never in
+    the gallery — the honest retrieval variant). ``--self-retrieval``
+    evaluates Z against itself with the diagonal excluded instead.
+    """
     from sketchformer_tpu.infer.encode import embed_dataset
     from sketchformer_tpu.infer.sbir import retrieval_eval
 
     model, loader, params = _restore_for_inference(args)
     batches = loader.get_validation_set(max_batches=args.max_batches)
     Z, labels = embed_dataset(model, params, batches)
-    metrics = retrieval_eval(Z, labels, Z, labels, exclude_self=True)
-    metrics["gallery_size"] = len(Z)
+    if args.self_retrieval or len(Z) < 4:
+        metrics = retrieval_eval(Z, labels, Z, labels, exclude_self=True)
+        metrics["protocol"] = "self"
+    else:
+        half = len(Z) // 2
+        metrics = retrieval_eval(
+            Z[:half], labels[:half], Z[half:], labels[half:])
+        metrics["protocol"] = "disjoint"
+    metrics["gallery_size"] = len(Z) if args.self_retrieval else len(Z) - len(Z) // 2
     if args.output:
         np.savez(args.output, embeddings=Z, labels=labels)
-    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
+    print(json.dumps({
+        k: (round(float(v), 4) if not isinstance(v, str) else v)
+        for k, v in metrics.items()}))
+    return 0
+
+
+def cmd_interpolate(args) -> int:
+    """Latent interpolation between two val sketches, decoded + rendered.
+
+    Reference parity: the paper's latent-space interpolation demo
+    (basic_usage notebook); here it's a first-class subcommand producing an
+    npz of decoded sketches plus a raster strip.
+    """
+    import jax
+
+    from sketchformer_tpu.infer import decode as dec
+    from sketchformer_tpu.infer.encode import interpolate, make_embed_fn
+    from sketchformer_tpu.utils.metrics import sketch_strip
+
+    model, loader, params = _restore_for_inference(args)
+    batch = loader.get_validation_set(max_batches=1)[0]
+    embed = make_embed_fn(model)
+    if model.config.use_continuous:
+        Z = np.asarray(embed(params, batch["enc"], batch["enc_mask"]))
+    else:
+        Z = np.asarray(embed(params, batch["enc"]))
+    i, j = args.index_a, args.index_b
+    if j is None:  # default: first sketch with a different label
+        labels = np.asarray(batch["label"])
+        distinct = np.flatnonzero(labels != labels[i])
+        j = int(distinct[0]) if len(distinct) else (i + 1) % len(Z)
+    path = interpolate(Z[i], Z[j], steps=args.steps).astype(Z.dtype)
+    if model.config.use_continuous:
+        decode = dec.make_cont_decoder_from_z(
+            model, temperature=args.temperature)
+        xy, pen, valid = decode(params, path, jax.random.PRNGKey(0))
+        sketches = dec.cont_to_sketches(
+            np.asarray(xy), np.asarray(pen), np.asarray(valid),
+            scale=loader.scale)
+    else:
+        ids = dec.make_token_decoder_from_z(model)(params, path)
+        sketches = dec.tokens_to_sketches(loader.tokenizer, np.asarray(ids))
+    offsets = np.zeros(len(sketches) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(s) for s in sketches])
+    points = (np.concatenate(sketches, axis=0)
+              if any(len(s) for s in sketches) else np.zeros((0, 3)))
+    strip = sketch_strip(sketches)
+    np.savez(args.output, points=points, offsets=offsets,
+             embeddings=path, strip=strip)
+    print(json.dumps({
+        "steps": args.steps, "index_a": i, "index_b": j,
+        "nonempty": int(sum(len(s) > 0 for s in sketches)),
+        "output": args.output,
+    }))
     return 0
 
 
@@ -340,7 +405,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--mesh", action="store_true",
                     help="shard over all visible devices")
     sp.add_argument("--model-parallelism", type=int, default=1)
-    sp.add_argument("--notifier", default="file", choices=["none", "file"])
+    sp.add_argument("--notifier", default="file",
+                    help="none | file | webhook:<url>")
     sp.add_argument("--prng", default="rbg",
                     choices=["rbg", "threefry2x32"],
                     help="dropout PRNG impl (rbg is ~28%% faster steps)")
@@ -362,9 +428,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("sbir", help="gallery retrieval eval (top-k, mAP)")
     common(sp)
     sp.add_argument("--max-batches", type=int, default=16)
+    sp.add_argument("--self-retrieval", action="store_true",
+                    help="eval Z vs itself (diag excluded) instead of "
+                         "disjoint query/gallery halves")
     sp.add_argument("--output", default=None,
                     help="optionally dump embeddings npz")
     sp.set_defaults(fn=cmd_sbir)
+
+    sp = sub.add_parser("interpolate",
+                        help="latent interpolation between two val sketches")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=8)
+    sp.add_argument("--index-a", type=int, default=0)
+    sp.add_argument("--index-b", type=int, default=None,
+                    help="default: first val sketch with a different label")
+    sp.add_argument("--temperature", type=float, default=0.0)
+    sp.add_argument("--output", default="interpolation.npz")
+    sp.set_defaults(fn=cmd_interpolate)
 
     sp = sub.add_parser("decode", help="AR reconstruction of a val batch")
     common(sp)

@@ -181,7 +181,7 @@ class BucketBatcher:
         token_mode: bool = True,
         tokenizer=None,
         scale: float = 1.0,
-        token_len_factor: float = 1.25,
+        token_len_factor: float = None,  # unused; kept for call compat
     ) -> None:
         if token_mode and tokenizer is None:
             raise ValueError("token_mode requires a tokenizer")
@@ -190,12 +190,18 @@ class BucketBatcher:
         self.token_mode = token_mode
         self.tokenizer = tokenizer
         self.scale = scale
-        # tokens per sketch exceed points (SEP + EOS); bucket on the
-        # estimated token count so token batches rarely truncate.
-        self.token_len_factor = token_len_factor
         self._pending: Dict[int, Tuple[List[np.ndarray], List[int]]] = {
             b: ([], []) for b in self.buckets
         }
+        # truncation observability ("no silent caps"): sketches longer than
+        # the largest bucket truncate at batch build; count them here so the
+        # train loop can surface ``truncated_frac`` as a metric.
+        self.n_added = 0
+        self.n_truncated = 0
+
+    @property
+    def truncated_frac(self) -> float:
+        return self.n_truncated / max(self.n_added, 1)
 
     def _emit(self, bucket: int) -> Dict[str, np.ndarray]:
         sketches, labels = self._pending[bucket]
@@ -212,9 +218,16 @@ class BucketBatcher:
     def add(self, sketch: np.ndarray, label: int):
         n = len(sketch)
         if self.token_mode:
-            n = int(n * self.token_len_factor) + 2
+            # EXACT token count: one content token per point, one SEP per
+            # pen-lift point, plus EOS (both tokenizers share this layout) —
+            # no estimate factor, so bucketing never under-provisions.
+            n_sep = int((np.asarray(sketch)[:, 2] >= 0.5).sum()) if n else 0
+            n = n + n_sep + 1
         else:
-            n = n + 1
+            n = n + 1  # one row reserved for the PEN_END target
+        self.n_added += 1
+        if n > self.buckets[-1]:
+            self.n_truncated += 1
         b = bucket_for_length(n, self.buckets)
         sketches, labels = self._pending[b]
         sketches.append(sketch)

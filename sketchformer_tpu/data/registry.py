@@ -60,6 +60,11 @@ class BaseLoader:
         self.seed = seed
         self._val_cache: Optional[List[Dict[str, np.ndarray]]] = None
         self._val_exhausted = False
+        # cumulative truncation counters across train epochs ("no silent
+        # caps"): surfaced by the train loop as the truncated_frac metric
+        self._trunc_added = 0
+        self._trunc_truncated = 0
+        self._active_batcher: Optional[BucketBatcher] = None
 
     # subclasses implement:
     def iter_pairs(self, split: str, epoch: int = 0):
@@ -77,9 +82,24 @@ class BaseLoader:
     def batch_iterator(
         self, split: str = "train", epoch: int = 0, drain: bool = True
     ) -> Iterator[Dict[str, np.ndarray]]:
+        batcher = self._batcher()
+        if split == "train":
+            if self._active_batcher is not None:
+                self._trunc_added += self._active_batcher.n_added
+                self._trunc_truncated += self._active_batcher.n_truncated
+            self._active_batcher = batcher
         yield from iterate_batches(
-            self.iter_pairs(split, epoch), self._batcher(), drain=drain
+            self.iter_pairs(split, epoch), batcher, drain=drain
         )
+
+    def truncation_stats(self) -> "tuple[int, int]":
+        """Cumulative ``(sketches_seen, sketches_truncated)`` over all train
+        iteration so far (sketches longer than the largest bucket)."""
+        a, t = self._trunc_added, self._trunc_truncated
+        if self._active_batcher is not None:
+            a += self._active_batcher.n_added
+            t += self._active_batcher.n_truncated
+        return a, t
 
     def get_validation_set(
         self, max_batches: int = 8
@@ -117,8 +137,23 @@ class DistributedStroke3Loader(BaseLoader):
         grid_resolution: int = 100,
         dictionary_path: Optional[str] = None,
         seed: int = 0,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ) -> None:
         self.dataset = ShardedDataset(data_dir)
+        # multi-host DP: default to this process's slot in the jax cluster
+        # so each host streams a disjoint shard subset (lazy jax import —
+        # the data layer stays importable without a backend)
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
         tokenizer = build_tokenizer(
             tokenizer_kind,
             resolution=grid_resolution,
@@ -136,8 +171,13 @@ class DistributedStroke3Loader(BaseLoader):
         self.scale = self.dataset.scale
 
     def iter_pairs(self, split: str, epoch: int = 0):
+        # eval splits are read whole on every host (metrics must agree);
+        # only the train stream is process-sharded
+        train = split == "train"
         return self.dataset.iter_sketches(
-            split, shuffle_shards=(split == "train"), seed=self.seed + epoch
+            split, shuffle_shards=train, seed=self.seed + epoch,
+            process_index=self.process_index if train else 0,
+            process_count=self.process_count if train else 1,
         )
 
 

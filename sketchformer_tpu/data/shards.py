@@ -116,11 +116,29 @@ class ShardedDataset:
         return sketches, labels
 
     def iter_sketches(
-        self, split: str, shuffle_shards: bool = False, seed: int = 0
+        self,
+        split: str,
+        shuffle_shards: bool = False,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[Tuple[np.ndarray, int]]:
+        """Stream ``(sketch, label)`` pairs shard by shard.
+
+        Multi-host DP: each process strides the (identically seeded)
+        shuffled shard order by ``(process_index, process_count)`` so every
+        host reads a DISJOINT shard subset — without this every host would
+        feed identical data and data parallelism would train on 1/N the
+        effective dataset (SURVEY.md §2 parallel table, DP row).
+        """
+        if not (0 <= process_index < process_count):
+            raise ValueError(
+                f"process_index={process_index} out of range for "
+                f"process_count={process_count}")
         order = np.arange(self.num_shards[split])
         if shuffle_shards:
             np.random.default_rng(seed).shuffle(order)
+        order = order[process_index::process_count]
         for s in order:
             sketches, labels = self.read_shard(split, int(s))
             for sk, lb in zip(sketches, labels):

@@ -105,12 +105,24 @@ class TFRecordSketchDataset:
         return os.path.join(self.data_dir, f"{split}_{index:04d}.tfrecord")
 
     def iter_sketches(
-        self, split: str, shuffle_shards: bool = False, seed: int = 0
+        self,
+        split: str,
+        shuffle_shards: bool = False,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> Iterator[Tuple[np.ndarray, int]]:
+        # multi-host DP stride over shards — same contract as
+        # ShardedDataset.iter_sketches (disjoint subsets per process)
         tf = _tf()
+        if not (0 <= process_index < process_count):
+            raise ValueError(
+                f"process_index={process_index} out of range for "
+                f"process_count={process_count}")
         order = np.arange(self.num_shards[split])
         if shuffle_shards:
             np.random.default_rng(seed).shuffle(order)
+        order = order[process_index::process_count]
         feature_spec = {
             "points": tf.io.FixedLenFeature([], tf.string),
             "n": tf.io.FixedLenFeature([], tf.int64),
@@ -138,6 +150,8 @@ class TFRecordStroke3Loader(BaseLoader):
         buckets=DEFAULT_BUCKETS,
         tokenizer=None,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> None:
         self.dataset = TFRecordSketchDataset(data_dir)
         super().__init__(
@@ -146,7 +160,12 @@ class TFRecordStroke3Loader(BaseLoader):
         self.num_classes = self.dataset.num_classes
         self.class_names = self.dataset.class_names
         self.scale = self.dataset.scale
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
 
     def iter_pairs(self, split: str, epoch: int = 0):
+        train = split == "train"
         return self.dataset.iter_sketches(
-            split, shuffle_shards=(split == "train"), seed=self.seed + epoch)
+            split, shuffle_shards=train, seed=self.seed + epoch,
+            process_index=self.process_index if train else 0,
+            process_count=self.process_count if train else 1)

@@ -58,12 +58,19 @@ def _memory_from_z(model, params, z):
 
 
 def make_token_decoder(
-    model: Sketchformer, max_len: Optional[int] = None
+    model: Sketchformer, max_len: Optional[int] = None,
+    early_exit: bool = True,
 ) -> Callable:
     """Returns jitted ``decode(params, enc) -> (B, max_len) int32 ids``.
 
     Emitted rows are ``[t_1 .. EOS PAD ...]`` (SOS stripped), matching the
     pipeline's ``dec_tgt`` layout so tokenizer.decode applies directly.
+
+    ``early_exit=True`` (default) decodes with a ``lax.while_loop`` that
+    stops the moment every row has emitted EOS — a batch of typical-length
+    sketches no longer pays max_len steps of kernel launches. The fixed-T
+    ``lax.scan`` variant remains for equivalence testing (outputs are
+    identical: unreached columns are PAD either way).
     """
     cfg = model.config
     T = _check_len(cfg, max_len or cfg.max_len)
@@ -73,13 +80,14 @@ def make_token_decoder(
         _, memory, memory_mask = model.apply(
             {"params": params}, enc, method=Sketchformer.encode)
         return _decode_tokens_from_memory(
-            model, params, memory, memory_mask, B, T)
+            model, params, memory, memory_mask, B, T, early_exit)
 
     return jax.jit(decode)
 
 
 def make_token_decoder_from_z(
-    model: Sketchformer, max_len: Optional[int] = None
+    model: Sketchformer, max_len: Optional[int] = None,
+    early_exit: bool = True,
 ) -> Callable:
     """Returns jitted ``decode(params, z) -> ids`` from stored embeddings."""
     cfg = model.config
@@ -88,16 +96,17 @@ def make_token_decoder_from_z(
     def decode(params, z):
         memory = _memory_from_z(model, params, z)
         return _decode_tokens_from_memory(
-            model, params, memory, None, z.shape[0], T)
+            model, params, memory, None, z.shape[0], T, early_exit)
 
     return jax.jit(decode)
 
 
-def _decode_tokens_from_memory(model, params, memory, memory_mask, B, T):
+def _decode_tokens_from_memory(
+    model, params, memory, memory_mask, B, T, early_exit=True
+):
     cache = _build_cache(model, params, B, memory, memory_mask)
 
-    def body(carry, t):
-        cache, prev, finished = carry
+    def step(cache, prev, finished, t):
         out, upd = model.apply(
             {"params": params, "cache": cache},
             prev[:, None], memory, memory_mask, t,
@@ -107,15 +116,35 @@ def _decode_tokens_from_memory(model, params, memory, memory_mask, B, T):
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, PAD_ID, nxt)
         new_finished = jnp.logical_or(finished, nxt == EOS_ID)
-        return (upd["cache"], nxt, new_finished), nxt
+        return upd["cache"], nxt, new_finished
 
-    init = (
-        cache,
-        jnp.full((B,), SOS_ID, jnp.int32),
-        jnp.zeros((B,), bool),
-    )
-    _, ids = jax.lax.scan(body, init, jnp.arange(T))
-    return ids.T  # (B, T)
+    prev0 = jnp.full((B,), SOS_ID, jnp.int32)
+    fin0 = jnp.zeros((B,), bool)
+
+    if not early_exit:
+        def body(carry, t):
+            cache, prev, finished = carry
+            cache, nxt, finished = step(cache, prev, finished, t)
+            return (cache, nxt, finished), nxt
+
+        _, ids = jax.lax.scan(body, (cache, prev0, fin0), jnp.arange(T))
+        return ids.T  # (B, T)
+
+    out0 = jnp.full((B, T), PAD_ID, jnp.int32)
+
+    def cond(carry):
+        _, _, finished, t, _ = carry
+        return jnp.logical_and(t < T, jnp.logical_not(finished.all()))
+
+    def body(carry):
+        cache, prev, finished, t, out = carry
+        cache, nxt, finished = step(cache, prev, finished, t)
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, t))
+        return (cache, nxt, finished, t + 1, out)
+
+    _, _, _, _, ids = jax.lax.while_loop(
+        cond, body, (cache, prev0, fin0, jnp.int32(0), out0))
+    return ids
 
 
 # ---------------------------------------------------------------------------
@@ -127,11 +156,14 @@ def make_cont_decoder(
     model: Sketchformer,
     max_len: Optional[int] = None,
     temperature: float = 0.0,
+    early_exit: bool = True,
 ) -> Callable:
     """Returns jitted ``decode(params, enc, enc_mask, rng) ->
     (xy (B,T,2), pen (B,T) int32, valid (B,T) bool)``.
 
     ``temperature == 0`` -> greedy (argmax component mean / pen state).
+    ``early_exit`` as in :func:`make_token_decoder` (stops when every row
+    has emitted PEN_END).
     """
     cfg = model.config
     T = _check_len(cfg, max_len or cfg.max_len)
@@ -143,7 +175,7 @@ def make_cont_decoder(
             {"params": params}, enc, enc_mask, method=Sketchformer.encode)
         return _decode_cont_from_memory(
             model, params, memory, memory_mask, B, T, rng, greedy,
-            temperature)
+            temperature, early_exit)
 
     return jax.jit(decode)
 
@@ -152,6 +184,7 @@ def make_cont_decoder_from_z(
     model: Sketchformer,
     max_len: Optional[int] = None,
     temperature: float = 0.0,
+    early_exit: bool = True,
 ) -> Callable:
     cfg = model.config
     T = _check_len(cfg, max_len or cfg.max_len)
@@ -161,21 +194,20 @@ def make_cont_decoder_from_z(
         memory = _memory_from_z(model, params, z)
         return _decode_cont_from_memory(
             model, params, memory, None, z.shape[0], T, rng, greedy,
-            temperature)
+            temperature, early_exit)
 
     return jax.jit(decode)
 
 
 def _decode_cont_from_memory(
-    model, params, memory, memory_mask, B, T, rng, greedy, temperature
+    model, params, memory, memory_mask, B, T, rng, greedy, temperature,
+    early_exit=True,
 ):
     cfg = model.config
     cache = _build_cache(model, params, B, memory, memory_mask)
     sos = jnp.zeros((B, 5), jnp.float32).at[:, 3].set(1.0)
 
-    def body(carry, inputs):
-        t, step_rng = inputs
-        cache, prev_row, finished = carry
+    def step(cache, prev_row, finished, t, step_rng):
         raw, upd = model.apply(
             {"params": params, "cache": cache},
             prev_row[:, None], memory, memory_mask, t,
@@ -189,17 +221,50 @@ def _decode_cont_from_memory(
         pen_oh = jax.nn.one_hot(pen, 3, dtype=jnp.float32)
         next_row = jnp.concatenate([xy, pen_oh], axis=-1)
         valid = jnp.logical_not(finished)
-        return (upd["cache"], next_row, new_finished), (xy, pen, valid)
+        return upd["cache"], next_row, new_finished, (xy, pen, valid)
 
+    fin0 = jnp.zeros((B,), bool)
     step_rngs = jax.random.split(rng, T)
-    init = (cache, sos, jnp.zeros((B,), bool))
-    _, (xy, pen, valid) = jax.lax.scan(
-        body, init, (jnp.arange(T), step_rngs))
-    return (
-        xy.transpose(1, 0, 2),
-        pen.transpose(1, 0),
-        valid.transpose(1, 0),
-    )
+
+    if not early_exit:
+        def body(carry, inputs):
+            t, step_rng = inputs
+            cache, prev_row, finished = carry
+            cache, next_row, finished, out = step(
+                cache, prev_row, finished, t, step_rng)
+            return (cache, next_row, finished), out
+
+        _, (xy, pen, valid) = jax.lax.scan(
+            body, (cache, sos, fin0), (jnp.arange(T), step_rngs))
+        return (
+            xy.transpose(1, 0, 2),
+            pen.transpose(1, 0),
+            valid.transpose(1, 0),
+        )
+
+    xy0 = jnp.zeros((B, T, 2), jnp.float32)
+    pen0 = jnp.full((B, T), PEN_END, jnp.int32)
+    valid0 = jnp.zeros((B, T), bool)
+
+    def cond(carry):
+        _, _, finished, t, _, _, _ = carry
+        return jnp.logical_and(t < T, jnp.logical_not(finished.all()))
+
+    def body(carry):
+        cache, prev_row, finished, t, xy_buf, pen_buf, valid_buf = carry
+        cache, next_row, finished, (xy, pen, valid) = step(
+            cache, prev_row, finished, t, step_rngs[t])
+        xy_buf = jax.lax.dynamic_update_slice(
+            xy_buf, xy[:, None, :], (0, t, 0))
+        pen_buf = jax.lax.dynamic_update_slice(
+            pen_buf, pen[:, None], (0, t))
+        valid_buf = jax.lax.dynamic_update_slice(
+            valid_buf, valid[:, None], (0, t))
+        return (cache, next_row, finished, t + 1, xy_buf, pen_buf, valid_buf)
+
+    _, _, _, _, xy, pen, valid = jax.lax.while_loop(
+        cond, body, (cache, sos, fin0, jnp.int32(0), xy0, pen0, valid0))
+    return xy, pen, valid
 
 
 # ---------------------------------------------------------------------------

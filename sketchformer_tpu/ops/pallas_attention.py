@@ -43,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 MAX_FUSED_LEN = 1024
+# Per-grid-cell VMEM budgets (bytes) for grouping batch elements. Tunable
+# module-level so the bench/tuning harness can sweep them; defaults chosen
+# by measurement on v5e (see tools/tune_attention.py).
+FWD_VMEM_BUDGET = 2 * 1024 * 1024
+BWD_VMEM_BUDGET = 1024 * 1024
 
 
 def _use_interpret() -> bool:
@@ -81,12 +86,14 @@ def _unfold_heads(x: jnp.ndarray, B: int, H: int) -> jnp.ndarray:
 
 def _batches_per_cell(
     B: int, Tq: int, Tk: int, D: int, H: int,
-    budget: int = 2 * 1024 * 1024,
+    budget: Optional[int] = None,
 ) -> int:
     """Group whole batch elements (H heads each) per grid cell so the grid
     is small enough that per-cell overhead amortizes, while q/k/v/S panes
     stay a few MB of VMEM (the backward kernel holds ~2x the panes of the
     forward, so it passes a halved budget)."""
+    if budget is None:
+        budget = FWD_VMEM_BUDGET
     per_batch = H * (Tq + 2 * Tk) * D * 4 + Tq * Tk * 4
     nb = max(1, budget // max(per_batch, 1))
     while nb > 1 and B % nb:
@@ -206,7 +213,7 @@ def _bwd_call(q, k, v, bias, g, H):
     BH, Tq, D = q.shape
     Tk = k.shape[1]
     B = BH // H
-    NB = _batches_per_cell(B, Tq, Tk, D, H, budget=1024 * 1024)
+    NB = _batches_per_cell(B, Tq, Tk, D, H, budget=BWD_VMEM_BUDGET)
     scale = 1.0 / (D ** 0.5)
     spec_q, spec_k, spec_bias = _specs(Tq, Tk, D, H, NB, bias.shape[0])
     return pl.pallas_call(

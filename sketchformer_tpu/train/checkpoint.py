@@ -104,17 +104,19 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.ckpt_dir}")
         # the checkpointed raw rng key's shape depends on the run's prng
-        # impl (run_meta.json); adapt the template so any caller restores
-        # correctly regardless of its own impl
+        # impl (run_meta.json); adapt a COPY of the template so any caller
+        # restores correctly regardless of its own impl (the caller's
+        # template is never mutated)
+        tpl = _as_pytree(template)
         impl = self.load_meta().get("prng_impl")
         if impl in self._KEY_SHAPES:
             import jax.numpy as jnp
 
-            template.rng = jnp.zeros(self._KEY_SHAPES[impl], jnp.uint32)
+            tpl = dict(tpl, rng=jnp.zeros(self._KEY_SHAPES[impl], jnp.uint32))
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(_as_pytree(template))
+                state=ocp.args.StandardRestore(tpl)
             ),
         )["state"]
         return TrainState(

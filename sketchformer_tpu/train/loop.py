@@ -20,7 +20,6 @@ import os
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from sketchformer_tpu.models.sketchformer import Sketchformer
 from sketchformer_tpu.train.checkpoint import CheckpointManager
@@ -51,6 +50,11 @@ class TrainLoopConfig:
     accum_steps: int = 1
     profile_steps: int = 0      # trace steps [10, 10+N) with jax.profiler
     recon_grid_every: int = 0   # decode+render a val recon grid every N steps
+    # registered val metrics (train/val_metrics.py), comma-separated names
+    # e.g. "recon_grid,interpolation_grid,retrieval"; run every metrics_every
+    # steps (0 -> at eval_every cadence)
+    metrics: str = ""
+    metrics_every: int = 0
     # rbg dropout masks measured 28% faster steps than threefry on v5e.
     # Keep one impl per run dir: the rng key is checkpointed and its
     # representation differs across impls.
@@ -154,24 +158,32 @@ def _run_training(
                 acc[k] = acc.get(k, 0.0) + float(v)
         return {f"val_{k}": v / max(len(batches), 1) for k, v in acc.items()}
 
-    decoder_cache = {}
+    # -- registered val metrics (reference: core/metrics.py registry) ------
+    from sketchformer_tpu.train.val_metrics import MetricContext, build_metrics
 
-    def render_recon_grid(step):
-        """Decode a val batch through the cached AR path -> image grid."""
-        if cfg.use_continuous:
-            return  # cont-mode grids need a sampling rng; CLI decode covers it
-        from sketchformer_tpu.infer import decode as dec
-        from sketchformer_tpu.utils.metrics import reconstruction_grid
+    metric_names = loop_cfg.metrics
+    if loop_cfg.recon_grid_every and "recon_grid" not in metric_names:
+        # back-compat: recon_grid_every implies the registered grid metric
+        metric_names = (metric_names + ",recon_grid").strip(",")
+    registered = build_metrics(metric_names)
+    metric_ctx = MetricContext(
+        model=model, params=None, loader=loader, step=0,
+        rng_seed=loop_cfg.seed)
+    metrics_every = (
+        loop_cfg.recon_grid_every or loop_cfg.metrics_every
+        or loop_cfg.eval_every)
 
-        val = loader.get_validation_set(max_batches=1)[0]
-        if "tok" not in decoder_cache:  # build+jit ONCE per run
-            decoder_cache["tok"] = dec.make_token_decoder(model)
-        ids = decoder_cache["tok"](current["state"].params, val["enc"])
-        recon = dec.tokens_to_sketches(loader.tokenizer, np.asarray(ids))
-        orig = [loader.tokenizer.decode(row) for row in np.asarray(val["enc"])]
-        grid = reconstruction_grid(orig, recon)
-        writer.write_image(step, "reconstruction", grid)
-        notifier.notify(f"reconstruction grid @ step {step}", image=grid)
+    def run_registered_metrics(step):
+        metric_ctx.params = current["state"].params
+        metric_ctx.step = step
+        for m in registered:
+            out = m.compute(metric_ctx)
+            if m.kind == "image":
+                writer.write_image(step, m.name, out)
+                notifier.notify(f"{m.name} grid @ step {step}", image=out)
+            else:
+                writer.write_scalars(step, out)
+                last_metrics.update(out)
 
     profiling = False
     start_step = step_i  # profile trigger is relative (resume-safe)
@@ -198,6 +210,9 @@ def _run_training(
         if step_i % loop_cfg.log_every == 0 or step_i == 1:
             host = {k: float(v) for k, v in metrics.items()}
             host["steps_per_sec"] = timer.steps_per_sec()
+            if hasattr(loader, "truncation_stats"):
+                seen, trunc = loader.truncation_stats()
+                host["truncated_frac"] = trunc / max(seen, 1)
             writer.write_scalars(step_i, host)
             last_metrics = host
         if step_i % loop_cfg.eval_every == 0:
@@ -206,8 +221,8 @@ def _run_training(
             last_metrics.update(ev)
         if step_i % loop_cfg.notify_every == 0:
             notifier.notify(f"step {step_i}", scalars=last_metrics)
-        if loop_cfg.recon_grid_every and step_i % loop_cfg.recon_grid_every == 0:
-            render_recon_grid(step_i)
+        if registered and step_i % metrics_every == 0:
+            run_registered_metrics(step_i)
         if step_i % loop_cfg.save_every == 0:
             # host-side gate BEFORE touching the manager: ckpt.save reads
             # int(state.step), which would force a device sync every step

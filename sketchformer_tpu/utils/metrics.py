@@ -94,6 +94,19 @@ def reconstruction_grid(
     ).astype(np.float32)
 
 
+def sketch_strip(
+    sketches: Iterable[np.ndarray], side: int = 64, max_n: int = 16
+) -> np.ndarray:
+    """1-row image strip of sketches (e.g. a latent interpolation path)."""
+    cells = [
+        stroke3.rasterize(s, side) if len(s) else np.zeros((side, side))
+        for s in list(sketches)[:max_n]
+    ]
+    if not cells:
+        return np.zeros((side, side), np.float32)
+    return np.concatenate(cells, axis=1).astype(np.float32)
+
+
 @contextlib.contextmanager
 def profile_block(run_dir: Optional[str] = None, enabled: bool = False):
     """jax.profiler trace around a code block (TensorBoard/Perfetto)."""

@@ -115,3 +115,45 @@ def test_cont_to_sketches_roundtrip_shape():
     sks = dec.cont_to_sketches(xy, pen, valid, scale=2.0)
     assert len(sks) == 1
     np.testing.assert_allclose(sks[0], [[2, 4, 0], [6, 8, 1]])
+
+
+def test_early_exit_equals_scan_token():
+    """while_loop early-exit decode == fixed-T scan decode, bit-exact."""
+    for seed in (0, 5):
+        model, params, enc = _tok_model(seed=seed)
+        fast = np.asarray(
+            dec.make_token_decoder(model, early_exit=True)(params, enc))
+        full = np.asarray(
+            dec.make_token_decoder(model, early_exit=False)(params, enc))
+        np.testing.assert_array_equal(fast, full)
+
+
+def test_early_exit_equals_scan_token_from_z():
+    model, params, enc = _tok_model(seed=6)
+    z = model.apply({"params": params}, enc, method=Sketchformer.embed)
+    fast = np.asarray(
+        dec.make_token_decoder_from_z(model, early_exit=True)(params, z))
+    full = np.asarray(
+        dec.make_token_decoder_from_z(model, early_exit=False)(params, z))
+    np.testing.assert_array_equal(fast, full)
+
+
+def test_early_exit_equals_scan_cont():
+    cfg = SketchformerConfig(**{**TINY, "use_continuous": True,
+                                "num_mixtures": 3})
+    model = Sketchformer(cfg)
+    rng = np.random.default_rng(2)
+    B, T = 2, cfg.max_len
+    enc = jnp.asarray(rng.standard_normal((B, T, 3)).astype(np.float32))
+    mask = jnp.ones((B, T), jnp.float32)
+    dec_in = jnp.asarray(rng.standard_normal((B, T, 5)).astype(np.float32))
+    params = model.init(
+        jax.random.PRNGKey(0), enc, dec_in, mask, mask)["params"]
+    key = jax.random.PRNGKey(3)
+    outs = {}
+    for ee in (True, False):
+        decode = dec.make_cont_decoder(model, temperature=0.6, early_exit=ee)
+        outs[ee] = tuple(
+            np.asarray(x) for x in decode(params, enc, mask, key))
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(a, b)

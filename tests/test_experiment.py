@@ -265,3 +265,53 @@ def test_prefetcher_surfaces_worker_errors():
     assert next(p) == 1
     with pytest.raises(RuntimeError, match="pipeline worker failed"):
         next(p)
+
+
+def test_webhook_notifier_graceful_and_registry():
+    from sketchformer_tpu.utils.notify import (
+        WebhookNotifier, build_notifier)
+
+    n = build_notifier("webhook:http://127.0.0.1:1/hook", ".")
+    assert isinstance(n, WebhookNotifier)
+    # unreachable URL: must never raise, and self-disable after max_failures
+    for _ in range(5):
+        n.notify("step 1", scalars={"loss": 1.0},
+                 image=np.zeros((4, 4, 3)))
+    assert n._failures >= n.max_failures
+
+
+def test_restore_does_not_mutate_template(tmp_path):
+    import jax
+
+    from sketchformer_tpu.data.registry import SyntheticLoader
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.train.checkpoint import CheckpointManager
+    from sketchformer_tpu.train.schedule import make_optimizer
+    from sketchformer_tpu.train.step import create_train_state
+
+    loader = SyntheticLoader(num_classes=2, sketches_per_epoch=8,
+                             batch_size=4, buckets=(32,))
+    cfg = SketchformerConfig(
+        vocab_size=loader.vocab_size, num_classes=2, max_len=32, d_model=16,
+        num_layers=1, num_heads=2, dff=32, lowerdim=8, num_queries=2)
+    model = Sketchformer(cfg)
+    tx = make_optimizer(cfg.d_model)
+    batch = next(loader.batch_iterator("train"))
+    old_impl = jax.config.jax_default_prng_impl
+    jax.config.update("jax_default_prng_impl", "rbg")
+    try:
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        mgr = CheckpointManager(str(tmp_path), async_save=False)
+        mgr.save_meta({"prng_impl": "rbg"})  # triggers template adaptation
+        mgr.save(state, force=True)
+        mgr.wait_until_finished()
+
+        template = create_train_state(model, tx, jax.random.PRNGKey(1), batch)
+        rng_before = np.asarray(template.rng).copy()
+        restored = mgr.restore(template)
+        np.testing.assert_array_equal(np.asarray(template.rng), rng_before)
+        np.testing.assert_array_equal(
+            np.asarray(restored.rng), np.asarray(state.rng))
+        mgr.close()
+    finally:
+        jax.config.update("jax_default_prng_impl", old_impl)

@@ -129,3 +129,94 @@ def test_distributed_loader_with_fitted_dictionary(tmp_path):
     assert loader.vocab_size == 36  # 32 + specials
     batch = next(loader.batch_iterator("train"))
     assert batch["enc"].max() < 36
+
+
+def test_process_sharded_iteration_disjoint(tmp_path):
+    """Multi-host DP: two simulated processes read disjoint, complete shard
+    subsets (SURVEY.md §2 parallel table, DP row)."""
+    sketches, labels = synthetic.generate_dataset(3, 24, seed=0)
+    write_shards(str(tmp_path), sketches, labels, ["a", "b", "c"],
+                 shard_size=8, seed=0)
+    ds = ShardedDataset(str(tmp_path))
+
+    def keyset(pi, pc):
+        return {
+            sk.tobytes()
+            for sk, _ in ds.iter_sketches(
+                "train", shuffle_shards=True, seed=5,
+                process_index=pi, process_count=pc)
+        }
+
+    full = keyset(0, 1)
+    p0, p1 = keyset(0, 2), keyset(1, 2)
+    assert p0 and p1
+    assert p0.isdisjoint(p1)
+    assert p0 | p1 == full
+    import pytest
+
+    with pytest.raises(ValueError):
+        next(ds.iter_sketches("train", process_index=2, process_count=2))
+
+
+def test_loader_process_sharding_wires_through(tmp_path):
+    sketches, labels = synthetic.generate_dataset(2, 24, seed=1)
+    write_shards(str(tmp_path), sketches, labels, ["a", "b"],
+                 shard_size=8, seed=0)
+    loaders = [
+        get_dataloader_by_name("distributed_stroke3")(
+            str(tmp_path), batch_size=4, buckets=(128,),
+            process_index=pi, process_count=2)
+        for pi in range(2)
+    ]
+    seen = [
+        {b["enc"].tobytes() for b in ld.batch_iterator("train")}
+        for ld in loaders
+    ]
+    assert seen[0].isdisjoint(seen[1])
+    # eval split is NOT process-sharded: every host reads the whole split
+    v0 = list(loaders[0].batch_iterator("valid"))
+    v1 = list(loaders[1].batch_iterator("valid"))
+    assert len(v0) == len(v1)
+
+
+def test_truncation_counters():
+    tok = GridTokenizer(resolution=16)
+    batcher = BucketBatcher(
+        batch_size=2, buckets=(16,), token_mode=True, tokenizer=tok)
+    short = np.zeros((4, 3), np.float32)
+    short[-1, 2] = 1.0
+    long = np.zeros((40, 3), np.float32)  # 40 pts + SEP + EOS > 16
+    long[-1, 2] = 1.0
+    batcher.add(short, 0)
+    batcher.add(long, 0)
+    assert batcher.n_added == 2
+    assert batcher.n_truncated == 1
+    assert batcher.truncated_frac == 0.5
+
+
+def test_exact_token_bucketing_never_truncates_within_range():
+    """A sketch whose exact token count fits a bucket lands in that bucket
+    even when >25% of its points are pen lifts (the old estimate failed)."""
+    tok = GridTokenizer(resolution=16)
+    batcher = BucketBatcher(
+        batch_size=1, buckets=(16, 64), token_mode=True, tokenizer=tok)
+    sk = np.zeros((20, 3), np.float32)
+    sk[:, 0] = 1.0
+    sk[::2, 2] = 1.0  # every other point lifts: 20 + 10 SEP + EOS = 31
+    batch = batcher.add(sk, 0)
+    assert batch is not None and batch["enc"].shape[1] == 64
+    assert batcher.n_truncated == 0
+
+
+def test_loader_truncation_stats_accumulate():
+    loader = SyntheticLoader(
+        num_classes=2, sketches_per_epoch=32, batch_size=8, buckets=(8,))
+    for _ in loader.batch_iterator("train", epoch=0):
+        pass
+    seen1, trunc1 = loader.truncation_stats()
+    assert seen1 == 32
+    for _ in loader.batch_iterator("train", epoch=1):
+        pass
+    seen2, _ = loader.truncation_stats()
+    assert seen2 == 64
+    assert trunc1 > 0  # bucket 8 truncates synthetic sketches

@@ -7,17 +7,25 @@ piece that makes the comparison a one-command job the day artifacts appear:
 
 1. ``--dump-template run_template.json`` — enumerate OUR param tree
    (path, shape, dtype) for a given model config, as the left column of the
-   mapping.
-2. Fill each entry's ``ref`` field with the TF2 checkpoint variable name
-   (from ``tf.train.list_variables``) and optional ``transpose`` axes.
-3. ``--weights ref_weights.npz --mapping run_template.json --out run_dir``
-   — build the flax param tree from the mapped arrays (shape-checked),
-   wrap it in a fresh TrainState and save an orbax checkpoint that
-   ``cli.py eval/embed/decode`` consume directly.
+   mapping. With ``--tf-ckpt`` the ``ref`` fields are AUTO-PROPOSED by
+   shape matching against the checkpoint's variables (unique shape -> firm
+   mapping; ambiguous shapes -> name-sorted zip flagged ``auto_ambiguous``
+   for human review; 2-D transposed matches get ``transpose: [1, 0]``).
+2. (If needed) fix up the ``ref`` fields — TF2 variable names come from
+   ``tf.train.list_variables`` — and optional ``transpose`` axes.
+3. ``--weights ref_weights.npz | --tf-ckpt <dir-or-prefix>`` plus
+   ``--mapping run_template.json --out run_dir`` — build the flax param
+   tree from the mapped arrays (shape-checked), wrap it in a fresh
+   TrainState and save an orbax checkpoint that ``cli.py
+   eval/embed/decode`` consume directly.
 
 Usage:
-    python tools/import_reference_weights.py --dump-template map.json \
-        --hparams d_model=256,num_layers=8
+    # one-command path for a real reference TF2 checkpoint:
+    python tools/import_reference_weights.py --tf-ckpt ref_ckpt_dir \
+        --dump-template map.json --hparams d_model=256,num_layers=8
+    python tools/import_reference_weights.py --tf-ckpt ref_ckpt_dir \
+        --mapping map.json --out out/reference_import
+    # or from a hand-built npz:
     python tools/import_reference_weights.py --weights w.npz \
         --mapping map.json --out out/reference_import
 """
@@ -80,12 +88,75 @@ def _build_model(hparams_str):
     return model, cfg, params
 
 
+class _TFCheckpointSource:
+    """Tensor source over a TF2 checkpoint dir or prefix.
+
+    Uses ``tf.train.load_checkpoint`` (TF is an optional dependency used
+    only here and in data/tfrecord.py). Non-tensor bookkeeping entries
+    (save counters, optimizer slots can be kept — they simply never match
+    model shapes) are listed as-is.
+    """
+
+    def __init__(self, path: str) -> None:
+        import tensorflow as tf  # lazy
+
+        prefix = tf.train.latest_checkpoint(path) if os.path.isdir(path) else path
+        if prefix is None:
+            raise FileNotFoundError(f"no TF checkpoint under {path}")
+        self._reader = tf.train.load_checkpoint(prefix)
+        self.shapes = {
+            name: tuple(shape)
+            for name, shape in tf.train.list_variables(prefix)
+            if "CHECKPOINTABLE_OBJECT_GRAPH" not in name
+        }
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.shapes
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        return np.asarray(self._reader.get_tensor(name))
+
+
+def _propose_mapping(template: dict, src: "_TFCheckpointSource") -> dict:
+    """Fill empty ``ref`` fields by shape matching against the checkpoint.
+
+    unique shape on both sides -> firm match; same-size ambiguous groups ->
+    name-sorted zip flagged ``auto_ambiguous``; a 2-D variable whose
+    TRANSPOSED shape matches uniquely gets ``transpose: [1, 0]`` (TF dense
+    kernels are (in, out) like flax, but conventions vary per repo).
+    """
+    ours_by_shape: dict = {}
+    for path, spec in template.items():
+        ours_by_shape.setdefault(tuple(spec["shape"]), []).append(path)
+    refs_by_shape: dict = {}
+    for name, shape in src.shapes.items():
+        refs_by_shape.setdefault(tuple(shape), []).append(name)
+
+    for shape, paths in ours_by_shape.items():
+        names = sorted(refs_by_shape.get(shape, []))
+        transpose = None
+        if not names and len(shape) == 2 and shape[0] != shape[1]:
+            names = sorted(refs_by_shape.get(shape[::-1], []))
+            transpose = [1, 0]
+        if not names:
+            continue
+        ambiguous = len(paths) > 1 or len(names) > 1
+        for path, name in zip(sorted(paths), names):
+            template[path]["ref"] = name
+            template[path]["transpose"] = transpose
+            if ambiguous:
+                template[path]["auto_ambiguous"] = True
+    return template
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--hparams", default=None)
     ap.add_argument("--dump-template", default=None)
     ap.add_argument("--weights", default=None,
                     help="npz of ref-name -> array")
+    ap.add_argument("--tf-ckpt", default=None,
+                    help="TF2 checkpoint dir or prefix (direct ingestion)")
     ap.add_argument("--mapping", default=None)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -103,19 +174,27 @@ def main() -> int:
             }
             for path, leaf in sorted(flat.items())
         }
+        if args.tf_ckpt:
+            template = _propose_mapping(template, _TFCheckpointSource(args.tf_ckpt))
+            n_auto = sum(1 for s in template.values() if s["ref"])
+            n_amb = sum(1 for s in template.values()
+                        if s.get("auto_ambiguous"))
+            print(f"auto-proposed {n_auto}/{len(template)} refs "
+                  f"({n_amb} ambiguous — review those)")
         with open(args.dump_template, "w") as f:
             json.dump(template, f, indent=2)
         print(f"wrote {len(template)}-entry template to {args.dump_template}")
         return 0
 
-    if not (args.weights and args.mapping and args.out):
-        print("need --weights, --mapping and --out (or --dump-template)",
-              file=sys.stderr)
+    if not ((args.weights or args.tf_ckpt) and args.mapping and args.out):
+        print("need --weights|--tf-ckpt, --mapping and --out "
+              "(or --dump-template)", file=sys.stderr)
         return 1
 
     with open(args.mapping) as f:
         mapping = json.load(f)
-    ref = dict(np.load(args.weights))
+    ref = (_TFCheckpointSource(args.tf_ckpt) if args.tf_ckpt
+           else dict(np.load(args.weights)))
 
     new_flat = {}
     missing, mismatched = [], []
