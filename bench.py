@@ -111,6 +111,58 @@ def main() -> None:
 
     extras = {"encode_ms_per_batch": round(per_fwd * 1e3, 3)}
 
+    def embed_flops_per_sketch(T):
+        """Encoder+bottleneck fwd FLOPs per sketch (trunk matmuls + attn;
+        embeddings/LN/bottleneck excluded — conservative for MFU)."""
+        d, dff, L = cfg.d_model, cfg.dff, cfg.num_layers
+        trunk = 2 * T * L * (4 * d * d + 2 * d * dff)
+        attn = 2 * 2 * T * T * d * L
+        return trunk + attn
+
+    V5E_BF16_PEAK = 197e12
+    extras["mfu_encode"] = round(
+        enc_sketches_per_sec * embed_flops_per_sketch(SEQ) / V5E_BF16_PEAK, 3)
+
+    # --- max-length bucket: encode throughput at T=192 ------------------
+    if on_tpu:
+        import dataclasses
+
+        T2 = 192
+        model192 = Sketchformer(dataclasses.replace(cfg, max_len=T2))
+        enc192 = jnp.asarray(tok_batch(ENC_BATCH, T2))
+        params192 = model192.init(
+            jax.random.PRNGKey(0), enc192[:8],
+            jnp.roll(enc192[:8], 1, axis=1).at[:, 0].set(1))["params"]
+
+        def chained_embed192(N):
+            @jax.jit
+            def embedN(params, enc):
+                def body(carry, _):
+                    z = model192.apply({"params": params}, enc + carry,
+                                       method=Sketchformer.embed)
+                    nxt = (z[:, :1] * 1e-20).astype(enc.dtype)
+                    return nxt, z.sum()
+                _, zs = jax.lax.scan(
+                    body, jnp.zeros_like(enc[:, :1]), None, length=N)
+                return zs.sum()
+            return embedN
+
+        t192 = {}
+        for N in (N1, N2):
+            f = chained_embed192(N)
+            _value(f(params192, enc192))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _value(f(params192, enc192))
+                ts.append(time.perf_counter() - t0)
+            t192[N] = min(ts)
+        per_fwd192 = (t192[N2] - t192[N1]) / (N2 - N1)
+        sk192 = ENC_BATCH / per_fwd192
+        extras["encode_T192_sketches_per_sec"] = round(sk192, 1)
+        extras["mfu_encode_T192"] = round(
+            sk192 * embed_flops_per_sketch(T2) / V5E_BF16_PEAK, 3)
+
     # --- p50 AR decode latency (value-forced) ---------------------------
     decode = dec.make_token_decoder(model, max_len=DEC_LEN)
     enc_d = jnp.asarray(tok_batch(DEC_BATCH, DEC_LEN))

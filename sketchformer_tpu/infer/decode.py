@@ -40,9 +40,10 @@ def _check_len(cfg, max_len):
     return max_len
 
 
-def _build_cache(model, params, batch_size, memory, memory_mask):
+def _build_cache(model, params, batch_size, memory, memory_mask,
+                 cache_pad=None):
     _, vars_ = model.apply(
-        {"params": params}, batch_size, memory, memory_mask,
+        {"params": params}, batch_size, memory, memory_mask, cache_pad,
         method=Sketchformer.init_cache, mutable=["cache"])
     return vars_["cache"]
 
@@ -59,7 +60,7 @@ def _memory_from_z(model, params, z):
 
 def make_token_decoder(
     model: Sketchformer, max_len: Optional[int] = None,
-    early_exit: bool = True,
+    early_exit: bool = True, cache_pad: Optional[int] = None,
 ) -> Callable:
     """Returns jitted ``decode(params, enc) -> (B, max_len) int32 ids``.
 
@@ -80,7 +81,7 @@ def make_token_decoder(
         _, memory, memory_mask = model.apply(
             {"params": params}, enc, method=Sketchformer.encode)
         return _decode_tokens_from_memory(
-            model, params, memory, memory_mask, B, T, early_exit)
+            model, params, memory, memory_mask, B, T, early_exit, cache_pad)
 
     return jax.jit(decode)
 
@@ -102,9 +103,10 @@ def make_token_decoder_from_z(
 
 
 def _decode_tokens_from_memory(
-    model, params, memory, memory_mask, B, T, early_exit=True
+    model, params, memory, memory_mask, B, T, early_exit=True,
+    cache_pad=None,
 ):
-    cache = _build_cache(model, params, B, memory, memory_mask)
+    cache = _build_cache(model, params, B, memory, memory_mask, cache_pad)
 
     def step(cache, prev, finished, t):
         out, upd = model.apply(

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sketchformer_tpu.models.dropout import Dropout
+
 NEG_INF = -1e9
 
 
@@ -72,6 +74,19 @@ def cached_decode_attention(
     logits = jnp.where(filled[None, None, :], logits, NEG_INF)
     weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bqk,bkd->bqd", weights, v_cache)
+
+
+def _full_mask(mask, structured, Tq):
+    """Materialize the legacy 4-D mask from structured (key_mask, causal)
+    for the XLA attention path."""
+    if structured is None:
+        return mask
+    key_mask, causal = structured
+    return combine_masks(
+        mask,
+        None if key_mask is None else key_mask[:, None, None, :],
+        causal_mask(Tq) if causal else None,
+    )
 
 
 class HeadProjection(nn.Module):
@@ -153,10 +168,20 @@ class MultiHeadAttention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         decode: bool = False,
+        key_mask: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ) -> jnp.ndarray:
+        """``mask`` is the legacy 4-D boolean form. Prefer the STRUCTURED
+        form — ``key_mask`` (B, Tk) + ``causal`` — which the Pallas kernel
+        applies without materializing a quadratic mask tensor (the XLA path
+        builds the equivalent 4-D mask internally)."""
         if self.d_model % self.num_heads:
             raise ValueError("num_heads must divide d_model")
         head_dim = self.d_model // self.num_heads
+        if mask is None and (key_mask is not None or causal):
+            structured = (key_mask, causal)
+        else:
+            structured = None
         # head-major only pays on the fused-kernel training path
         head_major = self.attn_impl == "pallas" and not decode
         proj = lambda name: HeadProjection(
@@ -202,25 +227,44 @@ class MultiHeadAttention(nn.Module):
                     q.shape[0], self.num_heads, q.shape[1], head_dim
                 ).transpose(0, 2, 1, 3)
             else:
-                out = dot_product_attention(q, k, v, mask=mask, impl="xla")
+                out = dot_product_attention(
+                    q, k, v, mask=_full_mask(mask, structured, q.shape[1]),
+                    impl="xla")
         elif head_major:
             from sketchformer_tpu.ops.pallas_attention import flash_attention
 
-            out = flash_attention(q, k, v, mask=mask, head_major=True)
+            out = flash_attention(
+                q, k, v, mask=mask, head_major=True,
+                key_mask=structured[0] if structured else None,
+                causal=structured[1] if structured else False)
         else:
-            out = dot_product_attention(q, k, v, mask=mask,
-                                        impl=self.attn_impl)
+            out = dot_product_attention(
+                q, k, v, mask=_full_mask(mask, structured, q.shape[1]),
+                impl=self.attn_impl)
         out = HeadOutProjection(
             self.num_heads, head_dim, self.d_model, head_major and not decode,
             self.dtype, name="out")(out)
         if self.dropout > 0.0:
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+            out = Dropout(self.dropout)(out, deterministic=deterministic)
         return out
 
 
 # ---------------------------------------------------------------------------
 # mask builders (reference: padding mask + look-ahead mask helpers)
 # ---------------------------------------------------------------------------
+
+
+def key_mask_from_ids(ids: jnp.ndarray, pad_id: int = 0) -> jnp.ndarray:
+    """(B, T) int tokens -> (B, T) boolean key mask, True=attend.
+
+    The 2-D form is what the model threads to attention (the Pallas kernel
+    applies it without materializing a quadratic mask)."""
+    return ids != pad_id
+
+
+def key_mask_from_float(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) float/bool validity -> (B, T) boolean key mask."""
+    return mask > 0.5
 
 
 def padding_mask_from_ids(ids: jnp.ndarray, pad_id: int = 0) -> jnp.ndarray:

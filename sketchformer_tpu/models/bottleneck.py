@@ -13,7 +13,8 @@ The paper compares bottleneck strategies; all three are implemented here
              pooled projection so the embedding API stays uniform
 
 ``__call__`` returns ``(z, memory, memory_mask)`` where ``memory`` is what
-the decoder cross-attends. For attn/mean the memory is RE-EXPANDED from z
+the decoder cross-attends and ``memory_mask`` is a 2-D (B, M) boolean key
+mask (or None when every slot is valid). For attn/mean the memory is RE-EXPANDED from z
 via ``expand_z`` (never built from the encoder sequence), enforcing the
 information bottleneck — and making decode-from-a-stored-embedding (SBIR
 gallery reconstruction, interpolation) a first-class path.
@@ -69,7 +70,7 @@ class Bottleneck(nn.Module):
     def __call__(
         self,
         enc_out: jnp.ndarray,                 # (B, T, D)
-        enc_key_mask: Optional[jnp.ndarray],  # (B, 1, 1, T) bool or None
+        enc_key_mask: Optional[jnp.ndarray],  # (B, T) bool or None
         deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         B = enc_out.shape[0]
@@ -78,11 +79,12 @@ class Bottleneck(nn.Module):
                 self.queries.astype(self.dtype),
                 (B, self.num_queries, self.d_model))
             pooled = self.pool_attn(
-                q, enc_out, mask=enc_key_mask, deterministic=deterministic)
+                q, enc_out, key_mask=enc_key_mask,
+                deterministic=deterministic)
             z = self.to_z(pooled.reshape(B, self.num_queries * self.d_model))
         else:
             if enc_key_mask is not None:
-                m = enc_key_mask[:, 0, 0, :, None].astype(enc_out.dtype)
+                m = enc_key_mask[:, :, None].astype(enc_out.dtype)
                 denom = jnp.maximum(m.sum(axis=1), 1.0)
                 pooled = (enc_out * m).sum(axis=1) / denom
             else:

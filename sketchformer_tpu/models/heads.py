@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sketchformer_tpu.models.dropout import Dropout
+
 
 class TokenHead(nn.Module):
     vocab_size: int
@@ -48,6 +50,6 @@ class ClassifierHead(nn.Module):
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(z)
         h = nn.relu(h)
         if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = Dropout(self.dropout)(h, deterministic=deterministic)
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(h)
         return logits.astype(jnp.float32)

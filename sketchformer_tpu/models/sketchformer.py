@@ -29,10 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sketchformer_tpu.models.attention import (
-    causal_mask,
-    combine_masks,
-    padding_mask_from_float,
-    padding_mask_from_ids,
+    key_mask_from_float,
+    key_mask_from_ids,
 )
 from sketchformer_tpu.models.bottleneck import Bottleneck
 from sketchformer_tpu.models.embeddings import ContinuousEmbed, TokenEmbed
@@ -103,11 +101,15 @@ class Sketchformer(nn.Module):
         self.classifier = ClassifierHead(
             cfg.num_classes, cfg.lowerdim, cfg.dropout, dt)
 
-    # -- mask helpers -----------------------------------------------------
+    # -- mask helpers -------------------------------------------------------
+    # Masks flow through the model as 2-D (B, T) boolean KEY masks + a
+    # ``causal`` flag: the Pallas kernel applies them without materializing
+    # a (B, Tq, Tk) tensor (round-2 redesign; the XLA path builds its 4-D
+    # mask internally in MultiHeadAttention).
     def _enc_key_mask(self, enc, enc_mask):
         if self.config.use_continuous:
-            return None if enc_mask is None else padding_mask_from_float(enc_mask)
-        return padding_mask_from_ids(enc)
+            return None if enc_mask is None else key_mask_from_float(enc_mask)
+        return key_mask_from_ids(enc)
 
     # -- encoder side -----------------------------------------------------
     def encode(
@@ -123,7 +125,8 @@ class Sketchformer(nn.Module):
             x = self.enc_embed(enc.astype(cfg.compute_dtype))
         else:
             x = self.enc_embed(enc)
-        enc_out = self.encoder(x, mask=key_mask, deterministic=deterministic)
+        enc_out = self.encoder(
+            x, key_mask=key_mask, deterministic=deterministic)
         return self.bottleneck(enc_out, key_mask, deterministic=deterministic)
 
     def embed(self, enc, enc_mask=None, deterministic: bool = True):
@@ -146,18 +149,16 @@ class Sketchformer(nn.Module):
     ) -> Dict[str, Any]:
         cfg = self.config
         z, memory, memory_mask = self.encode(enc, enc_mask, deterministic)
-        T = dec_in.shape[1]
-        self_mask = causal_mask(T)
         if cfg.use_continuous:
-            if dec_key_mask is not None:
-                self_mask = combine_masks(
-                    self_mask, padding_mask_from_float(dec_key_mask))
+            self_key = (None if dec_key_mask is None
+                        else key_mask_from_float(dec_key_mask))
             x = self.dec_embed(dec_in.astype(cfg.compute_dtype))
         else:
-            self_mask = combine_masks(self_mask, padding_mask_from_ids(dec_in))
+            self_key = key_mask_from_ids(dec_in)
             x = self.dec_embed(dec_in)
         dec_out = self.decoder(
-            x, memory, self_mask=self_mask, cross_mask=memory_mask,
+            x, memory, self_key_mask=self_key, causal=True,
+            cross_key_mask=memory_mask,
             deterministic=deterministic)
         return {
             "recon": self.out_head(dec_out),
@@ -184,26 +185,33 @@ class Sketchformer(nn.Module):
         else:
             x = self.dec_embed(dec_in_t, pos=t)
         dec_out = self.decoder(
-            x, memory, self_mask=None, cross_mask=memory_mask,
+            x, memory, cross_key_mask=memory_mask,
             deterministic=True, decode=True)
         return self.out_head(dec_out)
 
+    # Spare KV-cache slots beyond max_len: a decode whose step-loop length
+    # exactly equals the cache length miscompiles on the TPU runtime in this
+    # environment (empirically: T==Tmax -> all-NaN outputs from step 0;
+    # T<Tmax or a larger cache is fine — bisected exhaustively; standalone
+    # repro: tools/repro_scan_cache_nan.py). 8 slots are tile-aligned
+    # padding that sidesteps the bug zone.
+    CACHE_PAD = 8
+
     def init_cache(self, batch_size: int, memory: jnp.ndarray,
-                   memory_mask: Optional[jnp.ndarray]):
+                   memory_mask: Optional[jnp.ndarray],
+                   cache_pad: Optional[int] = None):
         """Build zero-filled cache variables via a dummy full-length pass.
 
-        The cache is sized max_len + 8: a decode whose scan length exactly
-        equals the cache length miscompiles on the TPU runtime in this
-        environment (empirically: T==Tmax -> all-NaN outputs from step 0;
-        T<Tmax or a larger cache is fine — bisected exhaustively). The 8
-        spare slots are tile-aligned padding that sidesteps the bug zone.
+        ``cache_pad`` overrides :data:`CACHE_PAD` — ONLY for the NaN-bug
+        repro harness; production decode must keep the default.
         """
         cfg = self.config
-        pad_len = cfg.max_len + 8
+        pad = self.CACHE_PAD if cache_pad is None else cache_pad
+        pad_len = cfg.max_len + pad
         # raw zeros (no dec_embed): only the cache SHAPES matter here, and
         # the posenc table is max_len-sized
         x = jnp.zeros((batch_size, pad_len, cfg.d_model), cfg.compute_dtype)
-        self.decoder(x, memory, self_mask=None, cross_mask=memory_mask,
+        self.decoder(x, memory, cross_key_mask=memory_mask,
                      deterministic=True, decode=True)
 
 

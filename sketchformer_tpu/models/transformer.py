@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from sketchformer_tpu.models.attention import MultiHeadAttention
+from sketchformer_tpu.models.dropout import Dropout
 
 
 class FeedForward(nn.Module):
@@ -36,7 +37,7 @@ class FeedForward(nn.Module):
         h = nn.relu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="out")(h)
         if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            h = Dropout(self.dropout)(h, deterministic=deterministic)
         return h
 
 
@@ -51,7 +52,7 @@ class EncoderLayer(nn.Module):
     qk_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True):
+    def __call__(self, x, mask=None, deterministic=True, key_mask=None):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
         mha = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout, self.dtype,
@@ -60,10 +61,12 @@ class EncoderLayer(nn.Module):
                           name="ffn")
         if self.norm_first:
             h = ln("ln1")(x)
-            x = x + mha(h, h, mask=mask, deterministic=deterministic)
+            x = x + mha(h, h, mask=mask, key_mask=key_mask,
+                        deterministic=deterministic)
             x = x + ffn(ln("ln2")(x), deterministic=deterministic)
         else:
-            x = ln("ln1")(x + mha(x, x, mask=mask, deterministic=deterministic))
+            x = ln("ln1")(x + mha(x, x, mask=mask, key_mask=key_mask,
+                                  deterministic=deterministic))
             x = ln("ln2")(x + ffn(x, deterministic=deterministic))
         return x
 
@@ -80,7 +83,8 @@ class DecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory, self_mask=None, cross_mask=None,
-                 deterministic=True, decode=False):
+                 deterministic=True, decode=False,
+                 self_key_mask=None, causal=False, cross_key_mask=None):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype, name=name)
         self_attn = MultiHeadAttention(
             self.num_heads, self.d_model, self.dropout, self.dtype,
@@ -93,16 +97,21 @@ class DecoderLayer(nn.Module):
                           name="ffn")
         if self.norm_first:
             h = ln("ln1")(x)
-            x = x + self_attn(h, h, mask=self_mask,
+            x = x + self_attn(h, h, mask=self_mask, key_mask=self_key_mask,
+                              causal=causal,
                               deterministic=deterministic, decode=decode)
             x = x + cross_attn(ln("ln2")(x), memory, mask=cross_mask,
+                               key_mask=cross_key_mask,
                                deterministic=deterministic)
             x = x + ffn(ln("ln3")(x), deterministic=deterministic)
         else:
             x = ln("ln1")(x + self_attn(x, x, mask=self_mask,
+                                        key_mask=self_key_mask,
+                                        causal=causal,
                                         deterministic=deterministic,
                                         decode=decode))
             x = ln("ln2")(x + cross_attn(x, memory, mask=cross_mask,
+                                         key_mask=cross_key_mask,
                                          deterministic=deterministic))
             x = ln("ln3")(x + ffn(x, deterministic=deterministic))
         return x
@@ -120,14 +129,15 @@ class Encoder(nn.Module):
     qk_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, deterministic=True):
+    def __call__(self, x, mask=None, deterministic=True, key_mask=None):
         if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_layers):
             x = EncoderLayer(
                 self.num_heads, self.d_model, self.dff, self.dropout,
                 self.dtype, self.attn_impl, self.norm_first, self.qk_norm,
-                name=f"layer_{i}")(x, mask=mask, deterministic=deterministic)
+                name=f"layer_{i}")(x, mask=mask, key_mask=key_mask,
+                                   deterministic=deterministic)
         if self.norm_first:
             x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
         return x
@@ -146,16 +156,19 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, memory, self_mask=None, cross_mask=None,
-                 deterministic=True, decode=False):
+                 deterministic=True, decode=False,
+                 self_key_mask=None, causal=False, cross_key_mask=None):
         if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_layers):
             x = DecoderLayer(
                 self.num_heads, self.d_model, self.dff, self.dropout,
                 self.dtype, self.attn_impl, self.norm_first, self.qk_norm,
                 name=f"layer_{i}")(
                     x, memory, self_mask=self_mask, cross_mask=cross_mask,
-                    deterministic=deterministic, decode=decode)
+                    deterministic=deterministic, decode=decode,
+                    self_key_mask=self_key_mask, causal=causal,
+                    cross_key_mask=cross_key_mask)
         if self.norm_first:
             x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
         return x

@@ -157,3 +157,23 @@ def test_early_exit_equals_scan_cont():
             np.asarray(x) for x in decode(params, enc, mask, key))
     for a, b in zip(outs[True], outs[False]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_cache_pad_regression():
+    """The KV cache must keep CACHE_PAD spare slots beyond max_len — a TPU
+    runtime bug NaNs any decode whose loop length equals the cache length
+    (repro: tools/repro_scan_cache_nan.py). Pin the pad so a refactor can't
+    silently remove it."""
+    model, params, enc = _tok_model(seed=0)
+    cfg = model.config
+    _, memory, memory_mask = model.apply(
+        {"params": params}, enc, method=Sketchformer.encode)
+    cache = dec._build_cache(model, params, enc.shape[0], memory, memory_mask)
+    leaf = cache["decoder"]["layer_0"]["self_attn"]["cached_key"]
+    assert Sketchformer.CACHE_PAD >= 8
+    assert leaf.shape[1] == cfg.max_len + Sketchformer.CACHE_PAD
+    # the repro override exists and actually changes the allocation
+    tight = dec._build_cache(
+        model, params, enc.shape[0], memory, memory_mask, cache_pad=0)
+    assert tight["decoder"]["layer_0"]["self_attn"]["cached_key"].shape[1] \
+        == cfg.max_len

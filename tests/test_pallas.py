@@ -134,3 +134,66 @@ def test_decode_flagship_shapes():
         ref = cached_decode_attention(q, kc, vc, jnp.int32(L), impl="xla")
         got = decode_attention(q, kc, vc, jnp.int32(L))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+
+
+def test_flash_structured_mask_matches_legacy():
+    """key_mask+causal (no quadratic mask tensor) == legacy 4-D mask."""
+    rng = np.random.default_rng(9)
+    q, k, v = _qkv(rng, B=2, T=64)
+    ids = jnp.asarray(rng.integers(1, 9, (2, 64)).astype(np.int32))
+    ids = ids.at[:, -10:].set(0)
+    km = ids != 0
+    legacy = combine_masks(causal_mask(64), padding_mask_from_ids(ids))
+    ref = flash_attention(q, k, v, mask=legacy)
+    got = flash_attention(q, k, v, key_mask=km, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+    # key-only (encoder pattern)
+    ref2 = flash_attention(q, k, v, mask=padding_mask_from_ids(ids))
+    got2 = flash_attention(q, k, v, key_mask=km)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-6)
+
+
+def test_flash_structured_grads_match_xla():
+    rng = np.random.default_rng(10)
+    q, k, v = _qkv(rng, B=2, T=48, H=2, D=128)
+    ids = jnp.asarray(rng.integers(1, 9, (2, 48)).astype(np.int32))
+    ids = ids.at[:, -7:].set(0)
+    km = ids != 0
+    full = combine_masks(causal_mask(48), padding_mask_from_ids(ids))
+
+    gr = jax.grad(lambda q, k, v: (
+        dot_product_attention(q, k, v, mask=full) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(lambda q, k, v: (
+        flash_attention(q, k, v, key_mask=km, causal=True) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_flash_head_major_structured():
+    """Production layout (B, H, T, D) + structured masks, fwd and bwd."""
+    rng = np.random.default_rng(11)
+    B, H, T, D = 2, 2, 96, 128
+    qh, kh, vh = (
+        jnp.asarray(rng.standard_normal((B, H, T, D)).astype(np.float32))
+        for _ in range(3))
+    ids = jnp.asarray(rng.integers(1, 9, (B, T)).astype(np.int32))
+    ids = ids.at[:, -10:].set(0)
+    km = ids != 0
+    to_bthd = lambda x: x.transpose(0, 2, 1, 3)
+    full = combine_masks(causal_mask(T), padding_mask_from_ids(ids))
+    ref = dot_product_attention(
+        to_bthd(qh), to_bthd(kh), to_bthd(vh), mask=full)
+    got = flash_attention(qh, kh, vh, key_mask=km, causal=True,
+                          head_major=True)
+    np.testing.assert_allclose(
+        np.asarray(to_bthd(got)), np.asarray(ref), atol=3e-6)
+
+
+def test_flash_rejects_mask_and_key_mask():
+    rng = np.random.default_rng(12)
+    q, k, v = _qkv(rng, B=1, T=8, H=1, D=8)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, mask=_mask(rng, B=1, T=8),
+                        key_mask=jnp.ones((1, 8), bool))
