@@ -82,12 +82,16 @@ def main() -> None:
     params = model.init(jax.random.PRNGKey(0), enc[:8], dec_in[:8])["params"]
 
     # --- headline: encode throughput (marginal-scan method) -------------
-    def chained_embed(N):
+    # production embed path: the fused encoder-stack engine when supported
+    # (infer/fast_encode.py), with the composed flax path as its fallback —
+    # exactly what infer.encode.make_embed_fn serves
+    from sketchformer_tpu.infer.fast_encode import fast_embed
+
+    def chained_embed(N, mdl=model):
         @jax.jit
         def embedN(params, enc):
             def body(carry, _):
-                z = model.apply({"params": params}, enc + carry,
-                                method=Sketchformer.embed)
+                z = fast_embed(mdl, params, enc + carry)
                 # runtime-dependent, compile-time-opaque recurrence
                 nxt = (z[:, :1] * 1e-20).astype(enc.dtype)
                 return nxt, z.sum()
@@ -134,22 +138,9 @@ def main() -> None:
             jax.random.PRNGKey(0), enc192[:8],
             jnp.roll(enc192[:8], 1, axis=1).at[:, 0].set(1))["params"]
 
-        def chained_embed192(N):
-            @jax.jit
-            def embedN(params, enc):
-                def body(carry, _):
-                    z = model192.apply({"params": params}, enc + carry,
-                                       method=Sketchformer.embed)
-                    nxt = (z[:, :1] * 1e-20).astype(enc.dtype)
-                    return nxt, z.sum()
-                _, zs = jax.lax.scan(
-                    body, jnp.zeros_like(enc[:, :1]), None, length=N)
-                return zs.sum()
-            return embedN
-
         t192 = {}
         for N in (N1, N2):
-            f = chained_embed192(N)
+            f = chained_embed(N, mdl=model192)
             _value(f(params192, enc192))
             ts = []
             for _ in range(3):

@@ -37,12 +37,24 @@ def preprocess_on_device(
         [deltas / scale, raw[..., 2:]], axis=-1)
 
 
-def make_embed_fn(model: Sketchformer) -> Callable:
-    """Returns jitted ``embed(params, enc, enc_mask=None) -> (B, lowerdim)``."""
+def make_embed_fn(model: Sketchformer, fast: bool = True) -> Callable:
+    """Returns jitted ``embed(params, enc, enc_mask=None) -> (B, lowerdim)``.
 
-    def embed(params, enc, enc_mask=None):
-        return model.apply(
-            {"params": params}, enc, enc_mask, method=Sketchformer.embed)
+    ``fast=True`` (default) routes supported configs through the fused
+    encoder-stack kernel (infer/fast_encode.py — ~2x the composed path on
+    v5e); unsupported configs fall back to ``model.apply`` inside
+    ``fast_embed`` itself, so this is always safe. ``fast=False`` forces
+    the composed flax path (the equivalence-test oracle).
+    """
+    if fast:
+        from sketchformer_tpu.infer.fast_encode import fast_embed
+
+        def embed(params, enc, enc_mask=None):
+            return fast_embed(model, params, enc, enc_mask)
+    else:
+        def embed(params, enc, enc_mask=None):
+            return model.apply(
+                {"params": params}, enc, enc_mask, method=Sketchformer.embed)
 
     return jax.jit(embed)
 

@@ -54,7 +54,9 @@ def main():
             def run(x, *ws):
                 def body(carry, _):
                     s = fn(x + carry.astype(x.dtype), *ws)
-                    return (s * 1e-30).astype(jnp.float32), s
+                    nxt = jnp.full_like(carry, 0) + (s * 1e-30).astype(
+                        carry.dtype)
+                    return nxt, s
                 _, out = jax.lax.scan(
                     body, jnp.zeros_like(x[:1, :1, :1]), None, length=N)
                 return out.sum()
