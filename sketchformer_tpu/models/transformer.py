@@ -130,6 +130,14 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True, key_mask=None):
+        # Fused whole-stack path (ops/pallas_encoder*.py): one kernel for
+        # the L-layer loop, VMEM-resident activations, custom VJP for
+        # training. Engaged after init (params must exist to be stacked);
+        # the composed path below remains the param-structure owner and
+        # the numerical oracle (tests/test_pallas_encoder*.py).
+        if (self.attn_impl == "pallas" and self.norm_first and mask is None
+                and not self.is_initializing()):
+            return self._fused_stack(x, key_mask, deterministic)
         if self.dropout > 0.0:
             x = Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_layers):
@@ -141,6 +149,36 @@ class Encoder(nn.Module):
         if self.norm_first:
             x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
         return x
+
+    def _fused_stack(self, x, key_mask, deterministic):
+        from sketchformer_tpu.ops.pallas_encoder import (
+            fused_encoder_stack,
+            stack_encoder_weights,
+        )
+        from sketchformer_tpu.ops.pallas_encoder_train import (
+            apply_final_ln,
+            fused_encoder_stack_train,
+        )
+
+        train_drop = (not deterministic) and self.dropout > 0.0
+        if train_drop:
+            # stack-entry dropout stays a flax site; per-layer sites run
+            # in-kernel from externally drawn u8 bits
+            x = Dropout(self.dropout)(x, deterministic=False)
+        w = stack_encoder_weights(
+            self.variables["params"], num_layers=self.num_layers,
+            compute_dtype=self.dtype)
+        if deterministic:
+            # forward-only inference kernel (eval / embed); gradients
+            # require deterministic=False, which takes the VJP'd path
+            return fused_encoder_stack(
+                x, key_mask, w, num_heads=self.num_heads,
+                qk_norm=self.qk_norm)
+        y = fused_encoder_stack_train(
+            x, key_mask, w, num_heads=self.num_heads, qk_norm=self.qk_norm,
+            dropout_rate=self.dropout,
+            dropout_rng=self.make_rng("dropout") if train_drop else None)
+        return apply_final_ln(y, w)
 
 
 class Decoder(nn.Module):

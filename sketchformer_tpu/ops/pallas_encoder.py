@@ -75,18 +75,41 @@ def _stack_kernel(
     wo_ref, bo_ref, ln2s_ref, ln2b_ref,
     w1_ref, b1_ref, w2_ref, b2_ref,
     lnfs_ref, lnfb_ref,
-    o_ref, *,
-    L, H, Dh, scale, use_mask, qk_norm,
+    *refs, **kw,
 ):
+    L = kw["L"]; H = kw["H"]; Dh = kw["Dh"]; scale = kw["scale"]
+    use_mask = kw["use_mask"]; qk_norm = kw["qk_norm"]
+    final_ln = kw.get("final_ln", True)
+    collect = kw.get("collect_inputs", False)
+    # u8 dropout threshold (0 = off). Dropout bits are an EXTERNAL input
+    # (2L, NB, T, d) u8 — generated once in XLA, shared bit-for-bit by the
+    # fwd and bwd kernels, same u8-threshold semantics as models/dropout.py.
+    thresh = kw.get("drop_thresh", 0)
+    refs = list(refs)              # [drop_ref?] o_ref [xins_ref?]
+    drop_ref = refs.pop(0) if thresh > 0 else None
+    o_ref = refs.pop(0)
+    xins_ref = refs.pop(0) if collect else None  # (L, NB, T, d)
     NB, T, d = x_ref.shape
     dt = x_ref.dtype
     M = NB * T
     HD = H * Dh
+    keep_scale = None
+    if thresh > 0:
+        keep_scale = jnp.asarray(1.0 / (1.0 - thresh / 256.0), dt)
     x = x_ref[:].reshape(M, d)
     if use_mask:
         kbias = bias_ref[:]                      # (NB, 1, T) f32 additive
 
+    def drop(val, site):
+        if thresh == 0:
+            return val
+        # i32 widen: Mosaic has no u8 compare on this target
+        bits = drop_ref[site].reshape(M, d).astype(jnp.int32)
+        return jnp.where(bits >= thresh, val * keep_scale, 0).astype(dt)
+
     for i in range(L):
+        if collect:
+            xins_ref[i] = x.reshape(NB, T, d)
         # ---- attention sublayer (pre-LN) --------------------------------
         h = _ln(x, ln1s_ref, ln1b_ref, i, dt)
         qkv = jax.lax.dot_general(
@@ -121,7 +144,7 @@ def _stack_kernel(
             attn, wo_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dt) + bo_ref[i:i + 1, :].astype(dt)
-        x = x + attn
+        x = x + drop(attn, 2 * i)
         # ---- FFN sublayer (pre-LN) --------------------------------------
         h = _ln(x, ln2s_ref, ln2b_ref, i, dt)
         h = jax.lax.dot_general(
@@ -133,9 +156,11 @@ def _stack_kernel(
             h, w2_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dt) + b2_ref[i:i + 1, :].astype(dt)
-        x = x + h
+        x = x + drop(h, 2 * i + 1)
 
-    o_ref[:] = _ln(x, lnfs_ref, lnfb_ref, 0, dt).reshape(NB, T, d)
+    if final_ln:
+        x = _ln(x, lnfs_ref, lnfb_ref, 0, dt)
+    o_ref[:] = x.reshape(NB, T, d).astype(o_ref.dtype)
 
 
 def _batches_per_cell(B, T, d, dff, H, itemsize):
