@@ -11,6 +11,7 @@ softmaxes stay in f32 while the MXU-heavy trunk runs bf16.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -21,10 +22,51 @@ class TokenHead(nn.Module):
     vocab_size: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        self.proj = nn.Dense(self.vocab_size, dtype=self.dtype)
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        logits = nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")(x)
-        return logits.astype(jnp.float32)
+        return self.proj(x).astype(jnp.float32)
+
+    def fused_ce(self, x: jnp.ndarray, targets: jnp.ndarray,
+                 pad_id: int = 0, target_chunk: int = 16):
+        """Masked-mean CE + accuracy WITHOUT materializing the full
+        (B, T, vocab) f32 logits tensor.
+
+        The vocab-10k head is HBM-bound, not compute-bound: full f32
+        logits are ~2 GB at B=512/T=96 and round-trip HBM ~5x through
+        fwd/loss/argmax/bwd (~12 ms/step measured on v5e). Here the time
+        axis is processed in rematerialized chunks — each chunk's logits
+        live only inside its (checkpointed) segment, and the backward
+        recomputes them chunk-by-chunk. Matches
+        train.loss.token_reconstruction_loss numerically (pinned by
+        tests/test_train.py::test_fused_ce_matches_plain).
+        """
+        B, T, _ = x.shape
+        chunk = min(target_chunk, T)
+        while T % chunk:
+            chunk -= 1
+        n = T // chunk
+
+        def piece(hc, tc):
+            logits = self.proj(hc).astype(jnp.float32)   # (B, C, V)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            ll = jnp.take_along_axis(
+                logits, tc[..., None], axis=-1)[..., 0] - lse
+            corr = (jnp.argmax(logits, axis=-1) == tc)
+            m = (tc != pad_id).astype(jnp.float32)
+            return (ll * m).sum(), (corr * m).sum(), m.sum()
+
+        piece = jax.checkpoint(piece)
+        ll_s = jnp.float32(0)
+        acc_s = jnp.float32(0)
+        cnt = jnp.float32(0)
+        for i in range(n):
+            sl = slice(i * chunk, (i + 1) * chunk)
+            a, b, c = piece(x[:, sl], targets[:, sl])
+            ll_s, acc_s, cnt = ll_s + a, acc_s + b, cnt + c
+        denom = jnp.maximum(cnt, 1.0)
+        return -ll_s / denom, acc_s / denom
 
 
 class MDNHead(nn.Module):

@@ -139,14 +139,8 @@ class Sketchformer(nn.Module):
         return self.bottleneck.expand_z(z)
 
     # -- teacher-forced training path -------------------------------------
-    def __call__(
-        self,
-        enc: jnp.ndarray,
-        dec_in: jnp.ndarray,
-        enc_mask: Optional[jnp.ndarray] = None,
-        dec_key_mask: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
-    ) -> Dict[str, Any]:
+    def _trunk(self, enc, dec_in, enc_mask, dec_key_mask, deterministic):
+        """Shared encode->decode trunk: returns (z, dec_out)."""
         cfg = self.config
         z, memory, memory_mask = self.encode(enc, enc_mask, deterministic)
         if cfg.use_continuous:
@@ -160,8 +154,47 @@ class Sketchformer(nn.Module):
             x, memory, self_key_mask=self_key, causal=True,
             cross_key_mask=memory_mask,
             deterministic=deterministic)
+        return z, dec_out
+
+    def __call__(
+        self,
+        enc: jnp.ndarray,
+        dec_in: jnp.ndarray,
+        enc_mask: Optional[jnp.ndarray] = None,
+        dec_key_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        z, dec_out = self._trunk(
+            enc, dec_in, enc_mask, dec_key_mask, deterministic)
         return {
             "recon": self.out_head(dec_out),
+            "cls": self.classifier(z, deterministic=deterministic),
+            "embedding": z.astype(jnp.float32),
+        }
+
+    def forward_tok_loss(
+        self,
+        enc: jnp.ndarray,
+        dec_in: jnp.ndarray,
+        dec_tgt: jnp.ndarray,
+        enc_mask: Optional[jnp.ndarray] = None,
+        dec_key_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        pad_id: int = 0,
+    ) -> Dict[str, Any]:
+        """Token-mode forward that computes the reconstruction CE INSIDE
+        the model via the chunked fused head (TokenHead.fused_ce) so the
+        (B, T, vocab) f32 logits never materialize — the train/eval step
+        hot path. Returns recon_loss/recon_acc scalars + cls logits."""
+        if self.config.use_continuous:
+            raise ValueError("forward_tok_loss is token-mode only")
+        z, dec_out = self._trunk(
+            enc, dec_in, enc_mask, dec_key_mask, deterministic)
+        recon_loss, recon_acc = self.out_head.fused_ce(
+            dec_out, dec_tgt, pad_id=pad_id)
+        return {
+            "recon_loss": recon_loss,
+            "recon_acc": recon_acc,
             "cls": self.classifier(z, deterministic=deterministic),
             "embedding": z.astype(jnp.float32),
         }

@@ -196,6 +196,14 @@ class Decoder(nn.Module):
     def __call__(self, x, memory, self_mask=None, cross_mask=None,
                  deterministic=True, decode=False,
                  self_key_mask=None, causal=False, cross_key_mask=None):
+        # Fused whole-stack teacher-forced path (ops/pallas_decoder_train)
+        # — same structure as Encoder._fused_stack; AR decode (decode=True)
+        # keeps the KV-cached per-step path.
+        if (self.attn_impl == "pallas" and self.norm_first and not decode
+                and causal and self_mask is None and cross_mask is None
+                and not self.is_initializing()):
+            return self._fused_stack(
+                x, memory, self_key_mask, cross_key_mask, deterministic)
         if self.dropout > 0.0:
             x = Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_layers):
@@ -210,3 +218,29 @@ class Decoder(nn.Module):
         if self.norm_first:
             x = nn.LayerNorm(dtype=self.dtype, name="ln_out")(x)
         return x
+
+    def _fused_stack(self, x, memory, self_key_mask, cross_key_mask,
+                     deterministic):
+        from sketchformer_tpu.ops.pallas_decoder_train import (
+            fused_decoder_stack,
+            fused_decoder_stack_train,
+            stack_decoder_weights,
+        )
+        from sketchformer_tpu.ops.pallas_encoder_train import apply_final_ln
+
+        train_drop = (not deterministic) and self.dropout > 0.0
+        if train_drop:
+            x = Dropout(self.dropout)(x, deterministic=False)
+        w = stack_decoder_weights(
+            self.variables["params"], num_layers=self.num_layers,
+            compute_dtype=self.dtype)
+        if deterministic:
+            return fused_decoder_stack(
+                x, memory, self_key_mask, cross_key_mask, w,
+                num_heads=self.num_heads, qk_norm=self.qk_norm)
+        y = fused_decoder_stack_train(
+            x, memory, self_key_mask, cross_key_mask, w,
+            num_heads=self.num_heads, qk_norm=self.qk_norm,
+            dropout_rate=self.dropout,
+            dropout_rng=self.make_rng("dropout") if train_drop else None)
+        return apply_final_ln(y, w)

@@ -163,14 +163,17 @@ def _stack_kernel(
     o_ref[:] = x.reshape(NB, T, d).astype(o_ref.dtype)
 
 
-def _batches_per_cell(B, T, d, dff, H, itemsize):
+def _batches_per_cell(B, T, d, dff, H, itemsize, extra_per_batch=0):
     """Whole batch elements per grid cell: activation panes within budget
-    (weights are resident and budgeted separately by Mosaic)."""
+    (weights are resident and budgeted separately by Mosaic).
+    ``extra_per_batch``: additional bytes per batch element (e.g. the
+    train path's per-layer saved-inputs block and dropout bits)."""
     per_batch = (
         6 * T * d * itemsize        # x, h, attn-out, concat panes
         + T * 3 * d * itemsize      # qkv pane
         + T * dff * itemsize        # ffn hidden
         + 2 * T * T * 4             # one head's s, e in f32
+        + extra_per_batch
     )
     nb = max(1, ACT_VMEM_BUDGET // max(per_batch, 1))
     while nb > 1 and B % nb:

@@ -48,10 +48,12 @@ from sketchformer_tpu.ops.pallas_encoder import (
 )
 
 # f32 weight-gradient panes + recompute panes are heavier than inference:
-# budget tuned on v5e (B=512/T=96 sweep: 12MB -> NB=8 -> 11.7ms encoder
-# fwd+bwd vs 17.1ms composed; NB=16 overflows VMEM, NB=2 is 1.5x slower
-# than composed — grid-cell matmuls too small).
-BWD_ACT_VMEM_BUDGET = 12 * 1024 * 1024
+# budget tuned on v5e so the flagship (d256/H2, B=512/T=96) lands on
+# NB=16 (measured best; NB=8 +0.5ms/step, NB=2 was 1.5x SLOWER than
+# composed — grid-cell matmuls too small). The estimate is lane-padding-
+# aware, so small-head_dim configs self-select smaller NB and stay under
+# the 32MB scoped-vmem limit.
+BWD_ACT_VMEM_BUDGET = 32 * 1024 * 1024
 
 _WKEYS = ("ln1s", "ln1b", "wqkv", "bqkv", "qns", "qnb", "kns", "knb",
           "wo", "bo", "ln2s", "ln2b", "w1", "b1", "w2", "b2")
@@ -240,13 +242,23 @@ def _layer_bwd_kernel(
     dx_ref[:] = (dx1 + dx_ln).astype(dx_ref.dtype).reshape(NB, T, d)
 
 
+def _pad128(n: int) -> int:
+    """Mosaic lane padding: the minor dim of every VMEM pane rounds up to
+    128 lanes — a (T, 32) per-head pane costs as much as (T, 128). Small
+    head_dim / cross-memory configs amplify 4-32x without this."""
+    return ((n + 127) // 128) * 128
+
+
 def _bwd_batches_per_cell(B, T, d, dff, H, itemsize):
+    d_p, dff_p, T_p = _pad128(d), _pad128(dff), _pad128(T)
+    Dh_p = _pad128(d // H)
     per_batch = (
-        14 * T * d * itemsize       # x/g/h1/x1/h2/attn/do/dx + f32 panes
-        + 2 * T * 3 * d * itemsize  # qkv + dqkv
-        + 2 * T * dff * itemsize    # pre1 + dpre1
-        + H * T * T * 4             # stored p per head
-        + 2 * T * T * 4             # live dp/ds
+        14 * T * d_p * itemsize         # x/g/h1/x1/h2/attn/do/dx + f32
+        + 2 * T * 3 * H * Dh_p * itemsize   # qkv + dqkv
+        + 2 * T * dff_p * itemsize      # pre1 + dpre1
+        + (H + 2) * T * T_p * 4         # stored p per head + live dp/ds
+        + 3 * H * T * Dh_p * 4          # dq/dk/dv f32 parts
+        + 2 * T * d_p                   # u8 dropout bits
     )
     nb = max(1, BWD_ACT_VMEM_BUDGET // max(per_batch, 1))
     while nb > 1 and B % nb:
@@ -321,7 +333,13 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
                     drop_thresh, collect):
     B, T, d = x.shape
     dff = wlist[_WKEYS.index("w1")].shape[2]
-    NB = _batches_per_cell(B, T, d, dff, H, x.dtype.itemsize)
+    extra = 0
+    if collect:
+        extra += L * T * d * x.dtype.itemsize     # xins block
+    if drop_thresh > 0:
+        extra += 2 * L * T * d                    # u8 dropout bits
+    NB = _batches_per_cell(B, T, d, dff, H, x.dtype.itemsize,
+                           extra_per_batch=extra)
     spec_x = _specs_x(NB, T, d)
     if use_mask:
         spec_bias = pl.BlockSpec((NB, 1, T), lambda g: (g, 0, 0),
@@ -356,6 +374,8 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
         out_specs=tuple(out_specs) if collect else out_specs[0],
         out_shape=tuple(out_shape) if collect else out_shape[0],
         interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(*operands)
     return res if collect else (res, None)
 

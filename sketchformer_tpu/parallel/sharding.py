@@ -98,7 +98,12 @@ def shard_state(state, mesh: Mesh):
     )
 
 
-def batch_spec(leaf) -> P:
+def batch_spec(leaf, stacked: bool = False) -> P:
+    """Partition spec for a batch leaf: batch axis over 'data'. With
+    ``stacked`` (steps_per_call chunking) axis 0 is the step axis —
+    replicated — and axis 1 is the batch axis."""
+    if stacked:
+        return P(None, "data", *([None] * (leaf.ndim - 2)))
     return P("data", *([None] * (leaf.ndim - 1)))
 
 
@@ -109,21 +114,24 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     }
 
 
-def constrain_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def constrain_batch(batch: Dict[str, Any], mesh: Mesh,
+                    stacked: bool = False) -> Dict[str, Any]:
     return {
         k: jax.lax.with_sharding_constraint(
-            v, NamedSharding(mesh, batch_spec(v)))
+            v, NamedSharding(mesh, batch_spec(v, stacked)))
         for k, v in batch.items()
     }
 
 
-def shard_train_step(step: Callable, mesh: Mesh) -> Callable:
+def shard_train_step(step: Callable, mesh: Mesh,
+                     stacked_batch: bool = False) -> Callable:
     """jit the step with batch constrained over 'data'; XLA propagates the
     param shardings from the input placement and inserts the ICI all-reduce
-    for gradients."""
+    for gradients. ``stacked_batch``: leaves carry a leading
+    steps_per_call axis (replicated) before the batch axis."""
 
     def wrapped(state, batch):
-        batch = constrain_batch(batch, mesh)
+        batch = constrain_batch(batch, mesh, stacked_batch)
         return step(state, batch)
 
     return jax.jit(wrapped, donate_argnums=(0,))

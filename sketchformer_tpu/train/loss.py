@@ -61,6 +61,27 @@ def tok_multitask_loss(
     }
 
 
+def tok_multitask_loss_fused(
+    outputs: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    w_recon: float = 1.0,
+    w_cls: float = 1.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Loss assembly for ``Sketchformer.forward_tok_loss`` outputs (the
+    chunked in-model CE — recon loss/acc arrive precomputed). Same metric
+    keys as :func:`tok_multitask_loss`."""
+    recon, recon_acc = outputs["recon_loss"], outputs["recon_acc"]
+    cls, cls_acc = classification_loss(outputs["cls"], batch["label"])
+    total = w_recon * recon + w_cls * cls
+    return total, {
+        "loss": total,
+        "recon_loss": recon,
+        "recon_acc": recon_acc,
+        "cls_loss": cls,
+        "cls_acc": cls_acc,
+    }
+
+
 def cont_multitask_loss(
     outputs: Dict[str, jnp.ndarray],
     batch: Dict[str, jnp.ndarray],

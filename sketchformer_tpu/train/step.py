@@ -92,6 +92,7 @@ def make_train_step(
     remat: bool = False,
     accum_steps: int = 1,
     guard_nonfinite: bool = True,
+    steps_per_call: int = 1,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, Any]]]:
     """Build the jitted train step.
 
@@ -99,6 +100,13 @@ def make_train_step(
     split into that many slices and gradients are averaged in an on-device
     ``lax.scan`` before ONE optimizer update — the memory knob for
     larger-than-HBM effective batches (SURVEY.md §7 M3).
+
+    ``steps_per_call > 1`` runs K FULL optimizer steps per device call via
+    ``lax.scan``: the returned callable takes a batch dict whose leaves
+    have a leading axis of K (one batch per step) and advances ``state.step``
+    by K, returning metrics averaged over the K steps. This amortizes the
+    per-step host dispatch (a few ms on a remote-PJRT chip) to ~0 — the
+    standard production TPU loop shape. Orthogonal to ``accum_steps``.
 
     ``guard_nonfinite`` (default on) REJECTS any update whose global grad
     norm is non-finite: params and optimizer state are kept unchanged for
@@ -109,8 +117,22 @@ def make_train_step(
     cfg = model.config
     loss_fn = _loss_fn(cfg, w_recon, w_cls)
 
+    # token mode computes the reconstruction CE inside the model via the
+    # chunked fused head (no full-vocab logits tensor); cont mode keeps the
+    # MDN output path
+    fused_ce = not cfg.use_continuous
+
     def grads_for(params, batch, step_rng):
         def fwd(p):
+            if fused_ce:
+                return model.apply(
+                    {"params": p},
+                    **_model_kwargs(cfg, batch),
+                    dec_tgt=batch["dec_tgt"],
+                    deterministic=False,
+                    rngs={"dropout": step_rng},
+                    method=Sketchformer.forward_tok_loss,
+                )
             return model.apply(
                 {"params": p},
                 **_model_kwargs(cfg, batch),
@@ -124,6 +146,9 @@ def make_train_step(
             fwd = jax.checkpoint(fwd)
 
         def compute_loss(p):
+            if fused_ce:
+                return losses.tok_multitask_loss_fused(
+                    fwd(p), batch, w_recon=w_recon, w_cls=w_cls)
             return loss_fn(fwd(p), batch)
 
         return jax.value_and_grad(compute_loss, has_aux=True)(params)
@@ -172,11 +197,23 @@ def make_train_step(
         new_state = TrainState(new_params, new_opt, state.step + 1, state.rng)
         return new_state, metrics
 
+    if steps_per_call > 1:
+        def chunked(state: TrainState, batches: Dict[str, Any]):
+            def body(st, one):
+                return step(st, one)
+            state, metrics = jax.lax.scan(body, state, batches)
+            return state, jax.tree.map(
+                lambda v: v.mean(axis=0), metrics)
+        step_fn = chunked
+    else:
+        step_fn = step
+
     if mesh is not None:
         from sketchformer_tpu.parallel.sharding import shard_train_step
 
-        return shard_train_step(step, mesh)
-    return jax.jit(step, donate_argnums=(0,))
+        return shard_train_step(step_fn, mesh,
+                                stacked_batch=steps_per_call > 1)
+    return jax.jit(step_fn, donate_argnums=(0,))
 
 
 def make_eval_step(
@@ -187,8 +224,17 @@ def make_eval_step(
 ):
     cfg = model.config
     loss_fn = _loss_fn(cfg, w_recon, w_cls)
+    fused_ce = not cfg.use_continuous
 
     def step(params, batch):
+        if fused_ce:
+            outputs = model.apply(
+                {"params": params}, **_model_kwargs(cfg, batch),
+                dec_tgt=batch["dec_tgt"], deterministic=True,
+                method=Sketchformer.forward_tok_loss)
+            _, metrics = losses.tok_multitask_loss_fused(
+                outputs, batch, w_recon=w_recon, w_cls=w_cls)
+            return metrics
         outputs = model.apply(
             {"params": params}, **_model_kwargs(cfg, batch),
             deterministic=True)

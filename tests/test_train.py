@@ -194,3 +194,104 @@ def test_nonfinite_guard_rejects_bad_update():
         for a, b in zip(jax.tree.leaves(params_before),
                         jax.tree.leaves(state.params)))
     assert changed
+
+
+def test_steps_per_call_chunk_equals_single_steps():
+    """K chunked steps == K sequential single steps (dropout off)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.train.schedule import make_optimizer
+    from sketchformer_tpu.train.step import create_train_state, make_train_step
+
+    cfg = SketchformerConfig(
+        vocab_size=64, num_classes=5, max_len=24,
+        d_model=32, num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2, dtype="float32")
+    model = Sketchformer(cfg)
+    rng = np.random.default_rng(0)
+    K, B = 3, 8
+    ids = rng.integers(4, 64, size=(K, B, 24)).astype(np.int32)
+    ids[..., -4:] = 0
+    stacked = {
+        "enc": jnp.asarray(ids),
+        "dec_in": jnp.roll(jnp.asarray(ids), 1, axis=-1).at[..., 0].set(1),
+        "dec_tgt": jnp.asarray(ids),
+        "label": jnp.asarray(rng.integers(0, 5, (K, B)).astype(np.int32)),
+    }
+    first = {k: v[0] for k, v in stacked.items()}
+    tx = make_optimizer(cfg.d_model)
+
+    s_single = create_train_state(model, tx, jax.random.PRNGKey(0), first)
+    s_chunk = create_train_state(model, tx, jax.random.PRNGKey(0), first)
+    step1 = make_train_step(model, tx)
+    stepK = make_train_step(model, tx, steps_per_call=K)
+
+    metrics_each = []
+    for i in range(K):
+        s_single, m = step1(s_single, {k: v[i] for k, v in stacked.items()})
+        metrics_each.append(float(m["loss"]))
+    s_chunk, mK = stepK(s_chunk, stacked)
+
+    assert int(s_chunk.step) == int(s_single.step) == K
+    np.testing.assert_allclose(
+        float(mK["loss"]), np.mean(metrics_each), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_single.params),
+                    jax.tree.leaves(s_chunk.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_fused_ce_matches_plain():
+    """forward_tok_loss (chunked in-model CE) == __call__ + plain CE:
+    loss, acc, and all parameter gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.train import loss as losses
+
+    cfg = SketchformerConfig(
+        vocab_size=50, num_classes=5, max_len=24, d_model=32,
+        num_layers=1, num_heads=2, dff=64, dropout=0.0,
+        lowerdim=16, num_queries=2, dtype="float32")
+    model = Sketchformer(cfg)
+    rng = np.random.default_rng(3)
+    B = 6
+    ids = rng.integers(4, 50, size=(B, 24)).astype(np.int32)
+    ids[:, -4:] = 0
+    batch = {
+        "enc": jnp.asarray(ids),
+        "dec_in": jnp.roll(jnp.asarray(ids), 1, axis=1).at[:, 0].set(1),
+        "dec_tgt": jnp.asarray(ids),
+        "label": jnp.asarray(rng.integers(0, 5, B).astype(np.int32)),
+    }
+    params = model.init(jax.random.PRNGKey(0), batch["enc"],
+                        batch["dec_in"])["params"]
+
+    def loss_plain(p):
+        out = model.apply({"params": p}, batch["enc"], batch["dec_in"])
+        return losses.tok_multitask_loss(out, batch)
+
+    def loss_fused(p):
+        out = model.apply(
+            {"params": p}, batch["enc"], batch["dec_in"],
+            dec_tgt=batch["dec_tgt"],
+            method=Sketchformer.forward_tok_loss)
+        return losses.tok_multitask_loss_fused(out, batch)
+
+    (ref_v, ref_m), ref_g = jax.value_and_grad(
+        loss_plain, has_aux=True)(params)
+    (got_v, got_m), got_g = jax.value_and_grad(
+        loss_fused, has_aux=True)(params)
+
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-6)
+    np.testing.assert_allclose(float(got_m["recon_acc"]),
+                               float(ref_m["recon_acc"]), rtol=1e-6)
+    got_map = {jax.tree_util.keystr(k): v for k, v in
+               jax.tree_util.tree_leaves_with_path(got_g)}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref_g):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(got_map[key]), np.asarray(leaf),
+            rtol=1e-5, atol=1e-6, err_msg=key)
