@@ -61,8 +61,16 @@ def _memory_from_z(model, params, z):
 def make_token_decoder(
     model: Sketchformer, max_len: Optional[int] = None,
     early_exit: bool = True, cache_pad: Optional[int] = None,
+    fast: bool = True,
 ) -> Callable:
     """Returns jitted ``decode(params, enc) -> (B, max_len) int32 ids``.
+
+    ``fast=True`` (default) routes supported configs through the whole-
+    stack decode-step kernel (infer/fast_decode.py — one pallas call per
+    AR step instead of ~100 XLA ops; identical ids, pinned by
+    tests/test_fast_decode.py). Passing ``early_exit=False`` or
+    ``cache_pad`` selects the composed path explicitly (the equivalence-
+    test oracle).
 
     Emitted rows are ``[t_1 .. EOS PAD ...]`` (SOS stripped), matching the
     pipeline's ``dec_tgt`` layout so tokenizer.decode applies directly.
@@ -75,6 +83,14 @@ def make_token_decoder(
     """
     cfg = model.config
     T = _check_len(cfg, max_len or cfg.max_len)
+    if fast and early_exit and cache_pad is None:
+        from sketchformer_tpu.infer.fast_decode import (
+            make_fast_token_decoder,
+            supports_fast_decode,
+        )
+
+        if supports_fast_decode(model):
+            return make_fast_token_decoder(model, max_len=T)
 
     def decode(params, enc):
         B = enc.shape[0]
@@ -88,11 +104,19 @@ def make_token_decoder(
 
 def make_token_decoder_from_z(
     model: Sketchformer, max_len: Optional[int] = None,
-    early_exit: bool = True,
+    early_exit: bool = True, fast: bool = True,
 ) -> Callable:
     """Returns jitted ``decode(params, z) -> ids`` from stored embeddings."""
     cfg = model.config
     T = _check_len(cfg, max_len or cfg.max_len)
+    if fast and early_exit:
+        from sketchformer_tpu.infer.fast_decode import (
+            make_fast_token_decoder_from_z,
+            supports_fast_decode,
+        )
+
+        if supports_fast_decode(model):
+            return make_fast_token_decoder_from_z(model, max_len=T)
 
     def decode(params, z):
         memory = _memory_from_z(model, params, z)
