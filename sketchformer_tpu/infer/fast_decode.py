@@ -52,7 +52,7 @@ def _decode_ids_from_memory(model, params, memory, B, T):
     L, H = cfg.num_layers, cfg.num_heads
     d = cfg.d_model
     Dh = d // H
-    Tmax = T + 8  # spare tile-aligned slots (see Sketchformer.CACHE_PAD)
+    Tmax = T + Sketchformer.CACHE_PAD  # spare slots (TPU NaN-bug zone)
     w = stack_decoder_weights(params["decoder"], num_layers=L,
                               compute_dtype=dt)
     ck, cv = precompute_cross_kv(memory, w, num_heads=H,
@@ -135,6 +135,8 @@ def make_fast_token_decoder_from_z(
 
         return make_token_decoder_from_z(model, max_len=max_len)
     T = max_len or cfg.max_len
+    if T > cfg.max_len:
+        raise ValueError(f"max_len {T} exceeds model max_len {cfg.max_len}")
 
     def decode(params, z):
         memory = model.apply(

@@ -181,6 +181,14 @@ class MultiHeadAttention(nn.Module):
         if mask is None and (key_mask is not None or causal):
             structured = (key_mask, causal)
         else:
+            if mask is not None and (key_mask is not None or causal):
+                # legacy 4-D mask alongside structured args: fold the
+                # structured terms in rather than silently dropping them
+                mask = combine_masks(
+                    mask,
+                    None if key_mask is None
+                    else key_mask[:, None, None, :],
+                    causal_mask(q_inp.shape[1]) if causal else None)
             structured = None
         # head-major only pays on the fused-kernel training path
         head_major = self.attn_impl == "pallas" and not decode

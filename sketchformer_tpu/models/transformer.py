@@ -135,7 +135,10 @@ class Encoder(nn.Module):
         # training. Engaged after init (params must exist to be stacked);
         # the composed path below remains the param-structure owner and
         # the numerical oracle (tests/test_pallas_encoder*.py).
+        from sketchformer_tpu.ops.pallas_encoder import MAX_FUSED_LEN
+
         if (self.attn_impl == "pallas" and self.norm_first and mask is None
+                and x.shape[1] <= MAX_FUSED_LEN
                 and not self.is_initializing()):
             return self._fused_stack(x, key_mask, deterministic)
         if self.dropout > 0.0:
@@ -199,8 +202,11 @@ class Decoder(nn.Module):
         # Fused whole-stack teacher-forced path (ops/pallas_decoder_train)
         # — same structure as Encoder._fused_stack; AR decode (decode=True)
         # keeps the KV-cached per-step path.
+        from sketchformer_tpu.ops.pallas_encoder import MAX_FUSED_LEN
+
         if (self.attn_impl == "pallas" and self.norm_first and not decode
                 and causal and self_mask is None and cross_mask is None
+                and x.shape[1] <= MAX_FUSED_LEN
                 and not self.is_initializing()):
             return self._fused_stack(
                 x, memory, self_key_mask, cross_key_mask, deterministic)

@@ -21,9 +21,11 @@ Structure:
   (plain XLA, one cheap differentiable op) so the custom VJP covers
   exactly the L-layer loop.
 
-Scope: pre-LN layers, optional qk-norm, dropout=0 (the fused train path
-is selected only for deterministic or rate-0 configs until in-kernel RNG
-lands; callers fall back to the composed path otherwise).
+Scope: pre-LN layers, optional qk-norm. Dropout (two sites per layer,
+post-attn-projection and post-FFN, matching models/transformer.py) is
+driven by an EXTERNAL (2L, B, T, d) u8 bits tensor drawn once in XLA and
+consumed bit-for-bit by the fwd and bwd kernels — same u8-threshold
+semantics as models/dropout.py, no in-kernel RNG.
 
 Gradient parity with the flax composed path is pinned by
 tests/test_pallas_encoder_train.py (f32, CPU interpret).

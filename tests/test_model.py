@@ -153,3 +153,54 @@ def test_pallas_and_xla_impls_agree_on_full_model():
     np.testing.assert_allclose(
         np.asarray(out_x["embedding"]), np.asarray(out_p["embedding"]),
         atol=5e-5, rtol=1e-4)
+
+
+def test_fused_gate_falls_back_beyond_max_fused_len():
+    """pallas configs with seq > MAX_FUSED_LEN must take the composed path
+    (round-1 contract: long sequences fall back to XLA, never crash)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sketchformer_tpu.models.transformer import Encoder
+    from sketchformer_tpu.ops.pallas_encoder import MAX_FUSED_LEN
+
+    T = MAX_FUSED_LEN + 32
+    enc_p = Encoder(num_layers=1, num_heads=2, d_model=32, dff=64,
+                    dropout=0.0, dtype=jnp.float32, attn_impl="pallas",
+                    norm_first=True)
+    enc_x = Encoder(num_layers=1, num_heads=2, d_model=32, dff=64,
+                    dropout=0.0, dtype=jnp.float32, attn_impl="xla",
+                    norm_first=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, T, 32)),
+        jnp.float32)
+    params = enc_x.init(jax.random.PRNGKey(0), x)["params"]
+    ref = enc_x.apply({"params": params}, x)
+    got = enc_p.apply({"params": params}, x)  # must not raise
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_mha_combines_legacy_mask_with_causal():
+    """Passing a 4-D mask AND causal=True must apply BOTH (regression:
+    the structured args were silently dropped)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sketchformer_tpu.models.attention import (
+        MultiHeadAttention, causal_mask, combine_masks,
+        padding_mask_from_ids)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 5, (2, 12)).astype(np.int32))
+    ids = ids.at[:, -3:].set(0)
+    mha = MultiHeadAttention(2, 16, 0.0, jnp.float32, "xla")
+    pad4d = padding_mask_from_ids(ids)
+    params = mha.init(jax.random.PRNGKey(0), x, x)["params"]
+    # oracle: explicit combined mask
+    ref = mha.apply({"params": params}, x, x,
+                    mask=combine_masks(pad4d, causal_mask(12)))
+    got = mha.apply({"params": params}, x, x, mask=pad4d, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
