@@ -51,10 +51,11 @@ from sketchformer_tpu.ops.pallas_encoder_train import (
 )
 
 FWD_ACT_VMEM_BUDGET = 6 * 1024 * 1024
-# Tuned on v5e so the flagship (d256/H2, B=512/T=96) lands on NB=8: full
-# train step 64.6 -> 60.6ms (NB=4 was the 12MB-budget result — grid cells
+# Tuned on v5e: flagship (d256/H2, B=512/T=96) lands on NB=16 under the
+# raised 64MB scoped-vmem limit — full train step 59.9 -> 58.2ms
+# (8,803 sk/s); NB=8 was the 19MB result, NB=4 the 12MB one (grid cells
 # too small). Estimate is lane-padding-aware (see encoder twin).
-BWD_ACT_VMEM_BUDGET = 19 * 1024 * 1024
+BWD_ACT_VMEM_BUDGET = 40 * 1024 * 1024
 
 _DWKEYS = (
     "ln1s", "ln1b", "s_wqkv", "s_bqkv", "s_qns", "s_qnb", "s_kns", "s_knb",
@@ -556,7 +557,7 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
         out_shape=out_shape,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x, mem, g, sbias, cbias, drop, *warg)
     dx, dmem = res[0], res[1]
     return dx, dmem, {k: v for k, v in zip(_DWKEYS, res[2:])}

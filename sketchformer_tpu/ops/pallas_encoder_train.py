@@ -311,9 +311,9 @@ def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
         out_shape=out_shape,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(
-            # the f32 dW panes + NB=8 recompute panes legitimately exceed
-            # the 16MB default scoped-vmem limit by a hair; v5e has more
-            vmem_limit_bytes=32 * 1024 * 1024),
+            # the f32 dW panes + large-NB recompute panes legitimately
+            # exceed the 16MB default scoped-vmem limit; v5e has more
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(x, g, bias, drop, *warg)
     dx = res[0]
     dwl = {k: v for k, v in zip(_WKEYS, res[1:])}
