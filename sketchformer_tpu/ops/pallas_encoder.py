@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sketchformer_tpu.ops import pallas_packed as pk
+
 NEG_INF = -1e9
 LN_EPS = 1e-6  # flax nn.LayerNorm default
 
@@ -79,6 +81,7 @@ def _stack_kernel(
 ):
     L = kw["L"]; H = kw["H"]; Dh = kw["Dh"]; scale = kw["scale"]
     use_mask = kw["use_mask"]; qk_norm = kw["qk_norm"]
+    packed = kw.get("packed", False)
     final_ln = kw.get("final_ln", True)
     collect = kw.get("collect_inputs", False)
     # u8 dropout threshold (0 = off). Dropout bits are an EXTERNAL input
@@ -118,27 +121,46 @@ def _stack_kernel(
         ).astype(dt) + bqkv_ref[i:i + 1, :].astype(dt)   # (M, 3*HD)
         qkv3 = qkv.reshape(NB, T, 3 * HD)
         outs = []
-        for hh in range(H):
-            q = qkv3[:, :, hh * Dh:(hh + 1) * Dh]
-            k = qkv3[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
-            v = qkv3[:, :, 2 * HD + hh * Dh:2 * HD + (hh + 1) * Dh]
-            if qk_norm:
-                q = _ln(q, qns_ref, qnb_ref, i, dt)
-                k = _ln(k, kns_ref, knb_ref, i, dt)
-            s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ) * scale                                     # (NB, T, T) f32
-            if use_mask:
-                s = s + kbias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
-            o = jax.lax.dot_general(
-                e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            outs.append((o / denom).astype(dt))           # (NB, T, Dh)
+        if packed:
+            # hpp = 128//Dh heads per full-lane group pane; qk-norm
+            # params arrive pre-tiled to (L, 128) (pallas_packed docs)
+            for gg in range(HD // 128):
+                q = qkv3[:, :, gg * 128:(gg + 1) * 128]
+                k = qkv3[:, :, HD + gg * 128:HD + (gg + 1) * 128]
+                v = qkv3[:, :, 2 * HD + gg * 128:2 * HD + (gg + 1) * 128]
+                if qk_norm:
+                    q = pk.ln_blocks_fwd32(
+                        q, qns_ref[i:i + 1, :], qnb_ref[i:i + 1, :],
+                        Dh)[0].astype(dt)
+                    k = pk.ln_blocks_fwd32(
+                        k, kns_ref[i:i + 1, :], knb_ref[i:i + 1, :],
+                        Dh)[0].astype(dt)
+                o = pk.group_attn_fwd(
+                    q, k, v, dh=Dh, scale=scale, dt=dt,
+                    bias=kbias if use_mask else None)
+                outs.append(o.astype(dt))
+        else:
+            for hh in range(H):
+                q = qkv3[:, :, hh * Dh:(hh + 1) * Dh]
+                k = qkv3[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
+                v = qkv3[:, :, 2 * HD + hh * Dh:2 * HD + (hh + 1) * Dh]
+                if qk_norm:
+                    q = _ln(q, qns_ref, qnb_ref, i, dt)
+                    k = _ln(k, kns_ref, knb_ref, i, dt)
+                s = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                 # (NB, T, T) f32
+                if use_mask:
+                    s = s + kbias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                denom = jnp.sum(e, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    e.astype(dt), v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                outs.append((o / denom).astype(dt))       # (NB, T, Dh)
         attn = jnp.concatenate(outs, axis=-1).reshape(M, HD)
         attn = jax.lax.dot_general(
             attn, wo_ref[i], (((1,), (0,)), ((), ())),
@@ -202,6 +224,12 @@ def fused_encoder_stack(
     Dh = d // H
     dff = w["w1"].shape[2]
     assert three_hd == 3 * H * Dh
+    # packed needs 8-aligned sublane score chunks (T % 8); other small-head
+    # geometries keep the per-head loop (correct, lane-padded)
+    packed = pk.packed_supported(d, H) and T % 8 == 0
+    if packed:
+        w = {**w, **{k: pk.tile_heads(w[k], 128 // Dh)
+                     for k in ("qns", "qnb", "kns", "knb")}}
     NB = _batches_per_cell(B, T, d, dff, H, x.dtype.itemsize)
     use_mask = key_mask is not None
     if use_mask:
@@ -233,7 +261,7 @@ def fused_encoder_stack(
     return pl.pallas_call(
         functools.partial(
             _stack_kernel, L=L, H=H, Dh=Dh, scale=1.0 / (Dh ** 0.5),
-            use_mask=use_mask, qk_norm=qk_norm),
+            use_mask=use_mask, qk_norm=qk_norm, packed=packed),
         grid=(B // NB,),
         in_specs=[spec_x, spec_bias] + [wspec(a) for a in wargs],
         out_specs=spec_x,

@@ -48,6 +48,7 @@ def _ref_embed(model, params, enc, mask):
                        method=Sketchformer.embed)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("qk_norm", [False, True])
 def test_fast_embed_matches_flax_tok(qk_norm):
     model, params, enc, _ = _model(qk_norm=qk_norm)
@@ -74,6 +75,7 @@ def test_fast_embed_other_bottlenecks(mode):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fast_embed_flagship_geometry():
     """The bench shape family: head_dim=128, pre-LN, token mode."""
     model, params, enc, _ = _model(
@@ -83,6 +85,23 @@ def test_fast_embed_flagship_geometry():
     got = fast_embed(model, params, enc)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("heads,qk_norm", [(8, False), (8, True), (4, False)])
+def test_fast_embed_packed_small_heads(heads, qk_norm):
+    """The reference head geometry (head_dim < 128): packed group path.
+
+    num_heads=8 / d_model=256 is SURVEY.md §2's Sketchformer geometry;
+    pallas_packed runs 128//Dh heads per lane pane. Also covers H=4
+    (Dh=64, hpp=2)."""
+    model, params, enc, _ = _model(
+        d_model=256, num_heads=heads, dff=512, num_layers=2, max_len=48,
+        lowerdim=256, qk_norm=qk_norm)
+    ref = _ref_embed(model, params, enc, None)
+    got = fast_embed(model, params, enc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=3e-5)
 
 
 def test_fast_embed_jitted_fn():
