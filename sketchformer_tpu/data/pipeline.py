@@ -212,8 +212,16 @@ class BucketBatcher:
             labels.append(labels[k % n_real])
         labels_arr = np.asarray(labels, dtype=np.int32)
         if self.token_mode:
-            return make_batch_tok(self.tokenizer, sketches, labels_arr, bucket)
-        return make_batch_cont(sketches, labels_arr, bucket, self.scale)
+            batch = make_batch_tok(
+                self.tokenizer, sketches, labels_arr, bucket)
+        else:
+            batch = make_batch_cont(sketches, labels_arr, bucket, self.scale)
+        # row-validity mask: repeat-padded rows (duplicated sketches that
+        # only exist to fill the static batch shape) are 0 so eval metrics,
+        # embedding dumps, and SBIR galleries never double-count a sketch.
+        batch["is_real"] = (
+            np.arange(self.batch_size) < n_real).astype(np.float32)
+        return batch
 
     def add(self, sketch: np.ndarray, label: int):
         n = len(sketch)

@@ -74,7 +74,11 @@ def embed_dataset(
     params,
     batches: Iterable[dict],
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Run embedding extraction over batch dicts; returns (Z, labels)."""
+    """Run embedding extraction over batch dicts; returns (Z, labels).
+
+    Rows flagged unreal by ``batch["is_real"]`` (repeat-padded duplicates
+    that exist only to fill the static batch shape) are dropped, so the
+    returned gallery never double-counts a sketch."""
     embed = make_embed_fn(model)
     zs, labels = [], []
     for batch in batches:
@@ -82,6 +86,11 @@ def embed_dataset(
             z = embed(params, batch["enc"], batch["enc_mask"])
         else:
             z = embed(params, batch["enc"])
-        zs.append(np.asarray(z))
-        labels.append(np.asarray(batch["label"]))
+        z = np.asarray(z)
+        lab = np.asarray(batch["label"])
+        if "is_real" in batch:
+            keep = np.asarray(batch["is_real"]) > 0.5
+            z, lab = z[keep], lab[keep]
+        zs.append(z)
+        labels.append(lab)
     return np.concatenate(zs, axis=0), np.concatenate(labels, axis=0)

@@ -29,7 +29,8 @@ class TokenHead(nn.Module):
         return self.proj(x).astype(jnp.float32)
 
     def fused_ce(self, x: jnp.ndarray, targets: jnp.ndarray,
-                 pad_id: int = 0, target_chunk: int = 16):
+                 pad_id: int = 0, target_chunk: int = 16,
+                 row_weights: jnp.ndarray = None):
         """Masked-mean CE + accuracy WITHOUT materializing the full
         (B, T, vocab) f32 logits tensor.
 
@@ -55,6 +56,9 @@ class TokenHead(nn.Module):
                 logits, tc[..., None], axis=-1)[..., 0] - lse
             corr = (jnp.argmax(logits, axis=-1) == tc)
             m = (tc != pad_id).astype(jnp.float32)
+            if row_weights is not None:
+                # zero repeat-padded duplicate rows (batch["is_real"])
+                m = m * row_weights[:, None]
             return (ll * m).sum(), (corr * m).sum(), m.sum()
 
         piece = jax.checkpoint(piece)

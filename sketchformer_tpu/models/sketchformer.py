@@ -181,17 +181,20 @@ class Sketchformer(nn.Module):
         dec_key_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         pad_id: int = 0,
+        row_weights: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """Token-mode forward that computes the reconstruction CE INSIDE
         the model via the chunked fused head (TokenHead.fused_ce) so the
         (B, T, vocab) f32 logits never materialize — the train/eval step
-        hot path. Returns recon_loss/recon_acc scalars + cls logits."""
+        hot path. Returns recon_loss/recon_acc scalars + cls logits.
+        ``row_weights`` (B,) zeroes repeat-padded duplicate rows out of
+        the CE (batch["is_real"])."""
         if self.config.use_continuous:
             raise ValueError("forward_tok_loss is token-mode only")
         z, dec_out = self._trunk(
             enc, dec_in, enc_mask, dec_key_mask, deterministic)
         recon_loss, recon_acc = self.out_head.fused_ce(
-            dec_out, dec_tgt, pad_id=pad_id)
+            dec_out, dec_tgt, pad_id=pad_id, row_weights=row_weights)
         return {
             "recon_loss": recon_loss,
             "recon_acc": recon_acc,

@@ -19,11 +19,17 @@ from sketchformer_tpu.ops import mdn
 
 
 def token_reconstruction_loss(
-    logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int = PAD_ID
+    logits: jnp.ndarray, targets: jnp.ndarray, pad_id: int = PAD_ID,
+    row_weights: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Masked mean CE and accuracy over non-pad target positions."""
+    """Masked mean CE and accuracy over non-pad target positions.
+
+    ``row_weights`` (B,) optionally zeroes whole rows — used by eval to
+    exclude repeat-padded duplicate sketches (batch["is_real"])."""
     logits = logits.astype(jnp.float32)
     mask = (targets != pad_id).astype(jnp.float32)
+    if row_weights is not None:
+        mask = mask * row_weights[:, None]
     denom = jnp.maximum(mask.sum(), 1.0)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(log_probs, targets[..., None], axis=-1)[..., 0]
@@ -34,13 +40,18 @@ def token_reconstruction_loss(
 
 
 def classification_loss(
-    logits: jnp.ndarray, labels: jnp.ndarray
+    logits: jnp.ndarray, labels: jnp.ndarray,
+    row_weights: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
-    acc = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32).mean()
-    return -ll.mean(), acc
+    correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
+    if row_weights is None:
+        return -ll.mean(), correct.mean()
+    denom = jnp.maximum(row_weights.sum(), 1.0)
+    return (-(ll * row_weights).sum() / denom,
+            (correct * row_weights).sum() / denom)
 
 
 def tok_multitask_loss(
@@ -49,8 +60,11 @@ def tok_multitask_loss(
     w_recon: float = 1.0,
     w_cls: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    recon, recon_acc = token_reconstruction_loss(outputs["recon"], batch["dec_tgt"])
-    cls, cls_acc = classification_loss(outputs["cls"], batch["label"])
+    rw = batch.get("is_real")
+    recon, recon_acc = token_reconstruction_loss(
+        outputs["recon"], batch["dec_tgt"], row_weights=rw)
+    cls, cls_acc = classification_loss(
+        outputs["cls"], batch["label"], row_weights=rw)
     total = w_recon * recon + w_cls * cls
     return total, {
         "loss": total,
@@ -71,7 +85,8 @@ def tok_multitask_loss_fused(
     chunked in-model CE — recon loss/acc arrive precomputed). Same metric
     keys as :func:`tok_multitask_loss`."""
     recon, recon_acc = outputs["recon_loss"], outputs["recon_acc"]
-    cls, cls_acc = classification_loss(outputs["cls"], batch["label"])
+    cls, cls_acc = classification_loss(
+        outputs["cls"], batch["label"], row_weights=batch.get("is_real"))
     total = w_recon * recon + w_cls * cls
     return total, {
         "loss": total,
@@ -89,10 +104,16 @@ def cont_multitask_loss(
     w_recon: float = 1.0,
     w_cls: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    rw = batch.get("is_real")
+    dec_mask = batch["dec_mask"]
+    if rw is not None:
+        # zero duplicate rows' positions: mdn_loss normalizes by mask sum
+        dec_mask = dec_mask * rw[:, None]
     nll_xy, nll_pen = mdn.mdn_loss(
         outputs["recon"], num_mixtures,
-        batch["tgt_xy"], batch["tgt_pen"], batch["dec_mask"])
-    cls, cls_acc = classification_loss(outputs["cls"], batch["label"])
+        batch["tgt_xy"], batch["tgt_pen"], dec_mask)
+    cls, cls_acc = classification_loss(
+        outputs["cls"], batch["label"], row_weights=rw)
     recon = nll_xy + nll_pen
     total = w_recon * recon + w_cls * cls
     return total, {

@@ -93,8 +93,17 @@ def make_train_step(
     accum_steps: int = 1,
     guard_nonfinite: bool = True,
     steps_per_call: int = 1,
+    explicit_spmd: bool = False,
 ) -> Callable[[TrainState, Dict[str, Any]], Tuple[TrainState, Dict[str, Any]]]:
     """Build the jitted train step.
+
+    ``explicit_spmd`` (requires ``mesh``) runs the step under
+    ``jax.shard_map`` over the ``data`` axis instead of GSPMD sharding
+    propagation: each device computes grads on its local batch shard, the
+    step body pmeans grads/metrics over ``data``, and the dropout rng
+    folds in the device index so shards draw independent masks. This
+    guarantees Pallas custom calls inside the model never attract
+    activation all-gathers (pinned by tests/test_parallel.py).
 
     ``accum_steps > 1`` enables microbatching: the batch's leading axis is
     split into that many slices and gradients are averaged in an on-device
@@ -131,6 +140,7 @@ def make_train_step(
                     dec_tgt=batch["dec_tgt"],
                     deterministic=False,
                     rngs={"dropout": step_rng},
+                    row_weights=batch.get("is_real"),
                     method=Sketchformer.forward_tok_loss,
                 )
             return model.apply(
@@ -153,8 +163,15 @@ def make_train_step(
 
         return jax.value_and_grad(compute_loss, has_aux=True)(params)
 
+    data_axis = "data" if (explicit_spmd and mesh is not None) else None
+
     def step(state: TrainState, batch: Dict[str, Any]):
         step_rng = jax.random.fold_in(state.rng, state.step)
+        if data_axis is not None:
+            # independent dropout masks per data shard (replicated rng
+            # would repeat the same mask on every device's local batch)
+            step_rng = jax.random.fold_in(
+                step_rng, jax.lax.axis_index(data_axis))
 
         if accum_steps == 1:
             (_, metrics), grads = grads_for(state.params, batch, step_rng)
@@ -182,6 +199,12 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g * inv, grads)
             metrics = jax.tree.map(lambda v: v * inv, metrics)
 
+        if data_axis is not None:
+            # explicit-SPMD: each shard computed grads on its local batch;
+            # the cross-shard mean IS the global-batch gradient (equal
+            # shard sizes). Metrics pmean'd the same way.
+            grads = jax.lax.pmean(grads, data_axis)
+            metrics = jax.lax.pmean(dict(metrics), data_axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
@@ -212,7 +235,8 @@ def make_train_step(
         from sketchformer_tpu.parallel.sharding import shard_train_step
 
         return shard_train_step(step_fn, mesh,
-                                stacked_batch=steps_per_call > 1)
+                                stacked_batch=steps_per_call > 1,
+                                explicit_spmd=explicit_spmd)
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
@@ -231,6 +255,7 @@ def make_eval_step(
             outputs = model.apply(
                 {"params": params}, **_model_kwargs(cfg, batch),
                 dec_tgt=batch["dec_tgt"], deterministic=True,
+                row_weights=batch.get("is_real"),
                 method=Sketchformer.forward_tok_loss)
             _, metrics = losses.tok_multitask_loss_fused(
                 outputs, batch, w_recon=w_recon, w_cls=w_cls)

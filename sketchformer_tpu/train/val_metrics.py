@@ -180,8 +180,12 @@ class RetrievalMetric(ValMetric):
         batches = ctx.loader.get_validation_set(max_batches=self.max_batches)
         zs, labels = [], []
         for b in batches:
-            zs.append(ctx.embed_batch(b))
-            labels.append(np.asarray(b["label"]))
+            z, lab = ctx.embed_batch(b), np.asarray(b["label"])
+            if "is_real" in b:   # drop repeat-padded duplicate rows
+                keep = np.asarray(b["is_real"]) > 0.5
+                z, lab = z[keep], lab[keep]
+            zs.append(z)
+            labels.append(lab)
         Z = np.concatenate(zs, axis=0)
         L = np.concatenate(labels, axis=0)
         m = retrieval_eval(Z, L, Z, L, exclude_self=True)

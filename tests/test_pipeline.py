@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from sketchformer_tpu.data.pipeline import (
     BucketBatcher,
@@ -220,3 +221,70 @@ def test_loader_truncation_stats_accumulate():
     seen2, _ = loader.truncation_stats()
     assert seen2 == 64
     assert trunc1 > 0  # bucket 8 truncates synthetic sketches
+
+
+def test_is_real_masks_repeat_padded_rows():
+    """A 3-sketch final batch carries is_real with exactly 3 ones, and the
+    row-weighted losses count exactly those rows (VERDICT r2 weak 5)."""
+    import jax.numpy as jnp
+
+    from sketchformer_tpu.train.loss import (
+        classification_loss,
+        token_reconstruction_loss,
+    )
+
+    tok = GridTokenizer(resolution=16)
+    batcher = BucketBatcher(
+        batch_size=8, buckets=(64,), token_mode=True, tokenizer=tok)
+    sketches, labels = synthetic.generate_dataset(3, 1, seed=3)
+    batches = list(iterate_batches(zip(sketches, labels), batcher))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b["is_real"].shape == (8,)
+    assert b["is_real"].sum() == 3
+    np.testing.assert_array_equal(b["is_real"][:3], 1.0)
+    # duplicate rows cycle through the reals
+    np.testing.assert_array_equal(b["enc"][3], b["enc"][0])
+
+    # weighted loss over the padded batch == unweighted loss over the
+    # 3 real rows alone (exact: identical sums and denominators)
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(
+        rng.standard_normal((8, 64, 20)).astype(np.float32))
+    tgt = jnp.asarray(b["dec_tgt"])
+    w = jnp.asarray(b["is_real"])
+    loss_w, acc_w = token_reconstruction_loss(logits, tgt, row_weights=w)
+    loss_3, acc_3 = token_reconstruction_loss(logits[:3], tgt[:3])
+    np.testing.assert_allclose(float(loss_w), float(loss_3), rtol=1e-6)
+    np.testing.assert_allclose(float(acc_w), float(acc_3), rtol=1e-6)
+
+    cl = jnp.asarray(rng.standard_normal((8, 5)).astype(np.float32))
+    lab = jnp.asarray(b["label"])
+    c_w, a_w = classification_loss(cl, lab, row_weights=w)
+    c_3, a_3 = classification_loss(cl[:3], lab[:3])
+    np.testing.assert_allclose(float(c_w), float(c_3), rtol=1e-6)
+    np.testing.assert_allclose(float(a_w), float(a_3), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_is_real_excluded_from_embedding_galleries():
+    """embed_dataset drops duplicate rows, so an SBIR query/gallery split
+    over its output can never place the same sketch on both sides."""
+    from sketchformer_tpu.infer.encode import embed_dataset
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    import jax
+
+    tok = GridTokenizer(resolution=16)
+    batcher = BucketBatcher(
+        batch_size=8, buckets=(64,), token_mode=True, tokenizer=tok)
+    sketches, labels = synthetic.generate_dataset(5, 1, seed=4)
+    batches = list(iterate_batches(zip(sketches, labels), batcher))
+    cfg = SketchformerConfig(
+        vocab_size=tok.vocab_size, num_classes=5, max_len=64, d_model=32,
+        num_layers=1, num_heads=2, dff=32, lowerdim=16)
+    model = Sketchformer(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), batches[0]["enc"][:2],
+        batches[0]["dec_in"][:2])["params"]
+    Z, L = embed_dataset(model, params, batches)
+    assert Z.shape[0] == 5 and L.shape[0] == 5
