@@ -85,12 +85,16 @@ def make_token_decoder(
     T = _check_len(cfg, max_len or cfg.max_len)
     if fast and early_exit and cache_pad is None:
         from sketchformer_tpu.infer.fast_decode import (
+            fast_decode_support,
             make_fast_token_decoder,
-            supports_fast_decode,
         )
+        from sketchformer_tpu.utils.engines import note_engine
 
-        if supports_fast_decode(model):
+        ok, why = fast_decode_support(model)
+        if ok:
+            note_engine("decode", "fused-step-kernel")
             return make_fast_token_decoder(model, max_len=T)
+        note_engine("decode", "composed", why)
 
     def decode(params, enc):
         B = enc.shape[0]

@@ -31,19 +31,34 @@ from sketchformer_tpu.ops.pallas_decoder_train import stack_decoder_weights
 NEG_INF = -1e9
 
 
-def supports_fast_decode(model: Sketchformer) -> bool:
+def fast_decode_support(model: Sketchformer, backend: str = None):
+    """(supported, reason-declined) for the fused decode-step engine.
+
+    ``backend`` overrides ``jax.default_backend()`` (tests)."""
     cfg = model.config
-    if (cfg.use_continuous or not cfg.norm_first
-            or cfg.bottleneck_mode not in ("attn", "mean")
-            or cfg.d_model % cfg.num_heads):
-        return False
-    if jax.default_backend() == "tpu":
+    if cfg.use_continuous:
+        return False, "continuous/MDN mode"
+    if not cfg.norm_first:
+        return False, "post-LN config"
+    if cfg.bottleneck_mode not in ("attn", "mean"):
+        return False, f"bottleneck_mode={cfg.bottleneck_mode!r}"
+    if cfg.d_model % cfg.num_heads:
+        return False, "d_model not divisible by num_heads"
+    backend = backend or jax.default_backend()
+    if backend == "tpu":
         # the kernel's head fold is a (NB, H*Dh) -> (NB*H, Dh) minor-dim
         # reshape — Mosaic only supports it at full 128-lane widths
         # (d128/H4 -> Dh=32 fails with "unsupported shape cast"); the
         # composed path serves small-head configs
-        return (cfg.d_model // cfg.num_heads) % 128 == 0
-    return True
+        if (cfg.d_model // cfg.num_heads) % 128:
+            return False, (
+                f"head_dim={cfg.d_model // cfg.num_heads} < 128 (Mosaic "
+                "head-fold reshape needs full-lane heads)")
+    return True, ""
+
+
+def supports_fast_decode(model: Sketchformer) -> bool:
+    return fast_decode_support(model)[0]
 
 
 def _decode_ids_from_memory(model, params, memory, B, T):

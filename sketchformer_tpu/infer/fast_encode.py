@@ -37,13 +37,20 @@ from sketchformer_tpu.ops.pallas_encoder import (
 )
 
 
-def supports_fast_path(model: Sketchformer) -> bool:
+def fast_path_support(model: Sketchformer):
+    """(supported, reason-declined) for the fused embed engine."""
     cfg = model.config
-    return (
-        cfg.norm_first
-        and cfg.max_len <= MAX_FUSED_LEN
-        and cfg.d_model % cfg.num_heads == 0
-    )
+    if not cfg.norm_first:
+        return False, "post-LN config"
+    if cfg.max_len > MAX_FUSED_LEN:
+        return False, f"max_len={cfg.max_len} > fused limit {MAX_FUSED_LEN}"
+    if cfg.d_model % cfg.num_heads:
+        return False, "d_model not divisible by num_heads"
+    return True, ""
+
+
+def supports_fast_path(model: Sketchformer) -> bool:
+    return fast_path_support(model)[0]
 
 
 def _embed_input(params, cfg, enc, dt):
@@ -106,10 +113,15 @@ def _bottleneck_z(params, cfg, enc_out, key_mask, dt):
 def fast_embed(model: Sketchformer, params, enc,
                enc_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Drop-in for ``model.apply(..., method=Sketchformer.embed)``."""
+    from sketchformer_tpu.utils.engines import note_engine
+
     cfg = model.config
-    if not supports_fast_path(model):
+    ok, why = fast_path_support(model)
+    if not ok:
+        note_engine("embed", "composed", why)
         return model.apply({"params": params}, enc, enc_mask,
                            method=Sketchformer.embed)
+    note_engine("embed", "fused-encoder-kernel")
     dt = cfg.compute_dtype
     if cfg.use_continuous:
         key_mask = None if enc_mask is None else enc_mask > 0.5

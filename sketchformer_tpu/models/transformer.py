@@ -136,11 +136,17 @@ class Encoder(nn.Module):
         # the composed path below remains the param-structure owner and
         # the numerical oracle (tests/test_pallas_encoder*.py).
         from sketchformer_tpu.ops.pallas_encoder import MAX_FUSED_LEN
+        from sketchformer_tpu.utils.engines import note_engine
 
         if (self.attn_impl == "pallas" and self.norm_first and mask is None
                 and x.shape[1] <= MAX_FUSED_LEN
                 and not self.is_initializing()):
             return self._fused_stack(x, key_mask, deterministic)
+        if self.attn_impl == "pallas" and not self.is_initializing():
+            why = ("post-LN config" if not self.norm_first
+                   else "structured mask" if mask is not None
+                   else f"T={x.shape[1]} > fused limit {MAX_FUSED_LEN}")
+            note_engine("encoder-stack", "composed", why)
         if self.dropout > 0.0:
             x = Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_layers):
@@ -203,6 +209,7 @@ class Decoder(nn.Module):
         # — same structure as Encoder._fused_stack; AR decode (decode=True)
         # keeps the KV-cached per-step path.
         from sketchformer_tpu.ops.pallas_encoder import MAX_FUSED_LEN
+        from sketchformer_tpu.utils.engines import note_engine
 
         if (self.attn_impl == "pallas" and self.norm_first and not decode
                 and causal and self_mask is None and cross_mask is None
@@ -210,6 +217,14 @@ class Decoder(nn.Module):
                 and not self.is_initializing()):
             return self._fused_stack(
                 x, memory, self_key_mask, cross_key_mask, deterministic)
+        if (self.attn_impl == "pallas" and not decode
+                and not self.is_initializing()):
+            why = ("post-LN config" if not self.norm_first
+                   else "structured mask" if (self_mask is not None
+                                              or cross_mask is not None)
+                   else "non-causal self-attention" if not causal
+                   else f"T={x.shape[1]} > fused limit {MAX_FUSED_LEN}")
+            note_engine("decoder-stack", "composed", why)
         if self.dropout > 0.0:
             x = Dropout(self.dropout)(x, deterministic=deterministic)
         for i in range(self.num_layers):
