@@ -48,6 +48,12 @@ class TrainLoopConfig:
     resume: bool = True
     remat: bool = False
     accum_steps: int = 1
+    # K optimizer steps per device dispatch (lax.scan in the compiled step;
+    # ~1 ms/step measured win on remote-PJRT v5e — docs/PERF_TRAIN.md).
+    # Batches are buffered per bucket shape until K accumulate; cadences
+    # (log/eval/save/notify) fire on boundary crossings, so they need not
+    # divide by K.
+    steps_per_call: int = 1
     profile_steps: int = 0      # trace steps [10, 10+N) with jax.profiler
     recon_grid_every: int = 0   # decode+render a val recon grid every N steps
     # registered val metrics (train/val_metrics.py), comma-separated names
@@ -111,9 +117,11 @@ def _run_training(
     tx = make_optimizer(
         cfg.d_model, warmup_steps=loop_cfg.warmup_steps,
         peak_scale=loop_cfg.peak_scale)
+    K = max(loop_cfg.steps_per_call, 1)
     train_step = make_train_step(
         model, tx, w_recon=loop_cfg.w_recon, w_cls=loop_cfg.w_cls,
-        mesh=mesh, remat=loop_cfg.remat, accum_steps=loop_cfg.accum_steps)
+        mesh=mesh, remat=loop_cfg.remat, accum_steps=loop_cfg.accum_steps,
+        steps_per_call=K)
     eval_step = make_eval_step(
         model, w_recon=loop_cfg.w_recon, w_cls=loop_cfg.w_cls, mesh=mesh)
 
@@ -129,6 +137,29 @@ def _run_training(
     first = next(stream)
     state = create_train_state(
         model, tx, jax.random.PRNGKey(loop_cfg.seed), first)
+
+    if K > 1:
+        # buffer per bucket shape until K same-shape batches accumulate,
+        # then stack to the (K, B, ...) layout make_train_step scans over
+        import numpy as np
+
+        pending: Dict[tuple, list] = {}
+        leftover = [first]
+
+        def next_call_batch():
+            while True:
+                b = leftover.pop() if leftover else next(stream)
+                key = b["enc"].shape
+                bs = pending.setdefault(key, [])
+                bs.append(b)
+                if len(bs) == K:
+                    del pending[key]
+                    return jax.tree.map(lambda *xs: np.stack(xs), *bs)
+    else:
+        leftover = [first]
+
+        def next_call_batch():
+            return leftover.pop() if leftover else next(stream)
     if mesh is not None:
         from sketchformer_tpu.parallel.sharding import shard_batch, shard_state
 
@@ -187,10 +218,15 @@ def _run_training(
 
     profiling = False
     start_step = step_i  # profile trigger is relative (resume-safe)
-    batch = first
+
+    def crossed(every: int) -> bool:
+        # fires when [step_i-K, step_i] crossed a multiple of ``every``
+        # (== ``step_i % every == 0`` at K=1)
+        return (step_i // every) != ((step_i - K) // every)
+
     while step_i < loop_cfg.total_steps:
         if loop_cfg.profile_steps:
-            if step_i == start_step + 10 and not profiling:
+            if step_i >= start_step + 10 and not profiling:
                 try:
                     jax.profiler.start_trace(
                         os.path.join(run_dir, "profile"))
@@ -201,13 +237,14 @@ def _run_training(
                 jax.profiler.stop_trace()
                 profiling = False
                 loop_cfg.profile_steps = 0
+        batch = next_call_batch()
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = train_step(current["state"], batch)
         current["state"] = state
-        step_i += 1
-        timer.tick()
-        if step_i % loop_cfg.log_every == 0 or step_i == 1:
+        step_i += K
+        timer.tick(K)
+        if crossed(loop_cfg.log_every) or step_i == K:
             host = {k: float(v) for k, v in metrics.items()}
             host["steps_per_sec"] = timer.steps_per_sec()
             if hasattr(loader, "truncation_stats"):
@@ -215,19 +252,18 @@ def _run_training(
                 host["truncated_frac"] = trunc / max(seen, 1)
             writer.write_scalars(step_i, host)
             last_metrics = host
-        if step_i % loop_cfg.eval_every == 0:
+        if crossed(loop_cfg.eval_every):
             ev = run_eval()
             writer.write_scalars(step_i, ev)
             last_metrics.update(ev)
-        if step_i % loop_cfg.notify_every == 0:
+        if crossed(loop_cfg.notify_every):
             notifier.notify(f"step {step_i}", scalars=last_metrics)
-        if registered and step_i % metrics_every == 0:
+        if registered and crossed(metrics_every):
             run_registered_metrics(step_i)
-        if step_i % loop_cfg.save_every == 0:
+        if crossed(loop_cfg.save_every):
             # host-side gate BEFORE touching the manager: ckpt.save reads
             # int(state.step), which would force a device sync every step
             ckpt.save(state)
-        batch = next(stream)
 
     final = run_eval()
     writer.write_scalars(step_i, final)

@@ -128,15 +128,19 @@ class StepTimer:
 
     def __init__(self, window: int = 50) -> None:
         self.window = window
-        self._times = []
+        self._times = []  # (t, n_steps_at_t)
+        self._n = 0
 
-    def tick(self) -> None:
-        self._times.append(time.perf_counter())
+    def tick(self, n_steps: int = 1) -> None:
+        """One device dispatch completed, advancing ``n_steps`` optimizer
+        steps (steps_per_call > 1 dispatches advance several)."""
+        self._n += n_steps
+        self._times.append((time.perf_counter(), self._n))
         if len(self._times) > self.window + 1:
             self._times.pop(0)
 
     def steps_per_sec(self) -> float:
         if len(self._times) < 2:
             return 0.0
-        span = self._times[-1] - self._times[0]
-        return (len(self._times) - 1) / max(span, 1e-9)
+        (t0, n0), (t1, n1) = self._times[0], self._times[-1]
+        return (n1 - n0) / max(t1 - t0, 1e-9)
