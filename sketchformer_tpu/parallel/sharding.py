@@ -124,15 +124,43 @@ def constrain_batch(batch: Dict[str, Any], mesh: Mesh,
 
 
 def shard_train_step(step: Callable, mesh: Mesh,
-                     stacked_batch: bool = False) -> Callable:
+                     stacked_batch: bool = False,
+                     explicit_spmd: bool = False) -> Callable:
     """jit the step with batch constrained over 'data'; XLA propagates the
     param shardings from the input placement and inserts the ICI all-reduce
     for gradients. ``stacked_batch``: leaves carry a leading
-    steps_per_call axis (replicated) before the batch axis."""
+    steps_per_call axis (replicated) before the batch axis.
+
+    ``explicit_spmd`` instead wraps the step in ``jax.shard_map`` over the
+    ``data`` axis (state replicated, batch sharded): every device runs the
+    step body on its LOCAL batch shard, so a Pallas custom call inside the
+    model can never attract an all-gather of the (B, T, d) activations —
+    the round-2 GSPMD risk ("XLA may insert gathers around the custom
+    call"). The step body must psum its grads/metrics itself — built
+    by ``make_train_step(..., data_axis='data')`` (train/step.py), which
+    also folds the device index into the dropout rng so shards draw
+    independent masks. The ``model`` axis (if sized >1) stays in GSPMD
+    auto mode — shard_map is applied to ``data`` only."""
+    if not explicit_spmd:
+        def wrapped(state, batch):
+            batch = constrain_batch(batch, mesh, stacked_batch)
+            return step(state, batch)
+
+        return jax.jit(wrapped, donate_argnums=(0,))
+
+    def bspec(leaf):
+        return batch_spec(leaf, stacked_batch)
 
     def wrapped(state, batch):
-        batch = constrain_batch(batch, mesh, stacked_batch)
-        return step(state, batch)
+        body = jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), jax.tree.map(bspec, batch)),
+            out_specs=(P(), P()),
+            axis_names={"data"},
+            check_vma=False,
+        )
+        return body(state, batch)
 
     return jax.jit(wrapped, donate_argnums=(0,))
 
