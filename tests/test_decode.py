@@ -1,6 +1,7 @@
 """Decode equivalence (SURVEY.md §4.3): KV-cached greedy decode must equal
 the uncached rescore-the-prefix decode the reference effectively performs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -51,6 +52,7 @@ def _uncached_greedy(model, params, enc, T):
     return ids
 
 
+@pytest.mark.slow
 def test_cached_equals_uncached_token_decode():
     model, params, enc = _tok_model(seed=0)
     T = model.config.max_len
@@ -59,6 +61,7 @@ def test_cached_equals_uncached_token_decode():
     np.testing.assert_array_equal(cached, uncached)
 
 
+@pytest.mark.slow
 def test_cached_equals_uncached_multiple_seeds():
     for seed in (1, 2):
         model, params, enc = _tok_model(seed=seed)
@@ -117,6 +120,7 @@ def test_cont_to_sketches_roundtrip_shape():
     np.testing.assert_allclose(sks[0], [[2, 4, 0], [6, 8, 1]])
 
 
+@pytest.mark.slow
 def test_early_exit_equals_scan_token():
     """while_loop early-exit decode == fixed-T scan decode, bit-exact."""
     for seed in (0, 5):

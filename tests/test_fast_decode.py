@@ -18,6 +18,9 @@ from sketchformer_tpu.infer.fast_decode import (
 )
 from sketchformer_tpu.models import Sketchformer, SketchformerConfig
 
+# full-tier only: heavy kernel/equivalence coverage (pyproject two-tier note)
+pytestmark = pytest.mark.slow
+
 
 def _tok_model(seed=0, **over):
     kw = dict(

@@ -6,6 +6,7 @@ Regenerate (only on INTENTIONAL model changes — document in the commit):
 see the generation snippet in the git history of this file's fixtures.
 """
 
+import pytest
 import os
 
 import jax
@@ -26,6 +27,7 @@ def teardown_module(module):
     jax.config.update("jax_default_matmul_precision", None)
 
 
+@pytest.mark.slow
 def test_golden_tok_forward():
     data = np.load(os.path.join(FIXTURES, "golden_tok.npz"))
     cfg = SketchformerConfig(

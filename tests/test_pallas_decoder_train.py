@@ -18,6 +18,9 @@ from sketchformer_tpu.ops.pallas_decoder_train import (
 )
 from sketchformer_tpu.ops.pallas_encoder_train import apply_final_ln
 
+# full-tier only: heavy kernel/equivalence coverage (pyproject two-tier note)
+pytestmark = pytest.mark.slow
+
 
 def _setup(qk_norm=False, T=24, d=32, H=2, L=2, dff=64, B=4, Mq=4,
            masked=True, cross_masked=False):

@@ -18,6 +18,9 @@ from sketchformer_tpu.ops.pallas_encoder_train import (
     fused_encoder_stack_train,
 )
 
+# full-tier only: heavy kernel/equivalence coverage (pyproject two-tier note)
+pytestmark = pytest.mark.slow
+
 
 def _setup(qk_norm=False, T=24, d=32, H=2, L=2, dff=64, B=4, masked=True):
     enc = Encoder(num_layers=L, num_heads=H, d_model=d, dff=dff,

@@ -1,11 +1,15 @@
 """Weight-import harness: template dump + round-trip through fake ref npz."""
 
+import pytest
 import json
 import subprocess
 import sys
 import os
 
 import numpy as np
+
+# full-tier only: heavy kernel/equivalence coverage (pyproject two-tier note)
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, "tools", "import_reference_weights.py")

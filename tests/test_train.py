@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,6 +74,7 @@ def test_cont_loss_goes_down():
     assert last < first - 0.3, (first, last)
 
 
+@pytest.mark.slow
 def test_eval_step_runs_and_matches_train_metrics_keys():
     state, hist, model, loader = _train_some(token_mode=True, steps=5)
     eval_step = make_eval_step(model)
@@ -83,6 +85,7 @@ def test_eval_step_runs_and_matches_train_metrics_keys():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_is_deterministic():
     """Same seed + same data => identical params after N steps."""
     s1, h1, _, _ = _train_some(token_mode=True, steps=3)
@@ -91,6 +94,7 @@ def test_train_step_is_deterministic():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_full_batch():
     """accum_steps=2 must equal the full-batch step when dropout is off."""
     import jax.numpy as jnp
@@ -123,6 +127,7 @@ def test_grad_accumulation_matches_full_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_remat_step_runs_and_matches():
     from sketchformer_tpu.models import Sketchformer, SketchformerConfig
     from sketchformer_tpu.data.tokenizer import GridTokenizer
@@ -152,6 +157,7 @@ def test_remat_step_runs_and_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_nonfinite_guard_rejects_bad_update():
     import jax.numpy as jnp
     from sketchformer_tpu.models import Sketchformer, SketchformerConfig
@@ -196,6 +202,7 @@ def test_nonfinite_guard_rejects_bad_update():
     assert changed
 
 
+@pytest.mark.slow
 def test_steps_per_call_chunk_equals_single_steps():
     """K chunked steps == K sequential single steps (dropout off)."""
     import jax
@@ -242,6 +249,7 @@ def test_steps_per_call_chunk_equals_single_steps():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_ce_matches_plain():
     """forward_tok_loss (chunked in-model CE) == __call__ + plain CE:
     loss, acc, and all parameter gradients."""

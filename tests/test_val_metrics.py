@@ -62,6 +62,7 @@ def test_image_metrics(tiny_ctx):
     assert "embed" in tiny_ctx.cache and "tok_dec_z" in tiny_ctx.cache
 
 
+@pytest.mark.slow
 def test_loop_runs_registered_metrics(tmp_path):
     from sketchformer_tpu.train.loop import TrainLoopConfig, run_training
 
@@ -89,6 +90,7 @@ def test_loop_runs_registered_metrics(tmp_path):
     assert any(p.startswith("reconstruction_") for p in imgs)
 
 
+@pytest.mark.slow
 def test_cli_interpolate(tmp_path):
     from sketchformer_tpu.cli import main
 
