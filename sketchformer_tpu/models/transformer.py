@@ -172,7 +172,8 @@ class Encoder(nn.Module):
         train_drop = (not deterministic) and self.dropout > 0.0
         if train_drop:
             # stack-entry dropout stays a flax site; per-layer sites run
-            # in-kernel from externally drawn u8 bits
+            # in-kernel (hardware PRNG on TPU, external u8 bits elsewhere
+            # — ops/pallas_dropout.py)
             x = Dropout(self.dropout)(x, deterministic=False)
         w = stack_encoder_weights(
             self.variables["params"], num_layers=self.num_layers,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sketchformer_tpu.ops import pallas_dropout as pdrop
 from sketchformer_tpu.ops.pallas_encoder import (
     LN_EPS,
     NEG_INF,
@@ -94,8 +95,14 @@ def _dec_stack_kernel(
     final_ln = kw.get("final_ln", True)
     collect = kw.get("collect_inputs", False)
     thresh = kw.get("drop_thresh", 0)
-    refs = list(refs)              # [drop_ref?] o_ref [xins_ref?]
-    drop_ref = refs.pop(0) if thresh > 0 else None
+    drop_impl = kw.get("drop_impl", "bits")
+    refs = list(refs)              # [drop_ref | seed_ref?] o_ref [xins_ref?]
+    drop_ref = seed_ref = None
+    if thresh > 0:
+        if drop_impl == "prng":
+            seed_ref = refs.pop(0)             # (1,) int32 in SMEM
+        else:
+            drop_ref = refs.pop(0)
     o_ref = refs.pop(0)
     xins_ref = refs.pop(0) if collect else None
 
@@ -113,15 +120,24 @@ def _dec_stack_kernel(
     if thresh > 0:
         keep_scale = jnp.asarray(1.0 / (1.0 - thresh / 256.0), dt)
 
-    def drop(val, site):
+    def drop(val, site, bpane=None):
         if thresh == 0:
             return val
-        bits = drop_ref[site].reshape(M, d).astype(jnp.int32)
+        if drop_impl == "prng":
+            bits = bpane        # pre-drawn (M, d) byte pane for this site
+        else:
+            bits = drop_ref[site].reshape(M, d).astype(jnp.int32)
         return jnp.where(bits >= thresh, val * keep_scale, 0).astype(dt)
 
     for i in range(L):
         if collect:
             xins_ref[i] = x.reshape(NB, T, d)
+        if thresh > 0 and drop_impl == "prng":
+            # one PRNG draw per layer serves all 3 sites (bytes 0..2)
+            lbytes = pdrop.draw_layer_bytes(
+                seed_ref[0], i, pl.program_id(0), NB, T, d, 3)
+        else:
+            lbytes = (None, None, None)
         # ---- causal self-attention --------------------------------------
         h = _ln(x, ln1s_ref, ln1b_ref, i, dt)
         qkv = (_mm(h, swqkv_ref[i], _NN).astype(dt)
@@ -144,7 +160,7 @@ def _dec_stack_kernel(
         attn = jnp.concatenate(outs, axis=-1).reshape(M, HD)
         attn = (_mm(attn, swo_ref[i], _NN).astype(dt)
                 + sbo_ref[i:i + 1, :].astype(dt))
-        x = x + drop(attn, 3 * i)
+        x = x + drop(attn, 3 * i, lbytes[0])
         # ---- cross-attention to memory ----------------------------------
         h = _ln(x, ln2s_ref, ln2b_ref, i, dt)
         cq = (_mm(h, cwq_ref[i], _NN).astype(dt)
@@ -169,7 +185,7 @@ def _dec_stack_kernel(
         cattn = jnp.concatenate(outs, axis=-1).reshape(M, HD)
         cattn = (_mm(cattn, cwo_ref[i], _NN).astype(dt)
                  + cbo_ref[i:i + 1, :].astype(dt))
-        x = x + drop(cattn, 3 * i + 1)
+        x = x + drop(cattn, 3 * i + 1, lbytes[1])
         # ---- FFN ---------------------------------------------------------
         h = _ln(x, ln3s_ref, ln3b_ref, i, dt)
         h = (_mm(h, w1_ref[i], _NN).astype(dt)
@@ -177,7 +193,7 @@ def _dec_stack_kernel(
         h = jnp.maximum(h, 0)
         h = (_mm(h, w2_ref[i], _NN).astype(dt)
              + b2_ref[i:i + 1, :].astype(dt))
-        x = x + drop(h, 3 * i + 2)
+        x = x + drop(h, 3 * i + 2, lbytes[2])
 
     if final_ln:
         x = _ln(x, lnfs_ref, lnfb_ref, 0, dt)
@@ -198,6 +214,7 @@ def _dec_layer_bwd_kernel(
     dcqns_ref, dcqnb_ref, dckns_ref, dcknb_ref, dcwo_ref, dcbo_ref,
     dln3s_ref, dln3b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, H, Dh, scale, use_smask, use_cmask, qk_norm, drop_thresh,
+    drop_impl="bits", layer=0,
 ):
     NB, T, d = x_ref.shape
     Mq = mem_ref.shape[1]
@@ -212,10 +229,15 @@ def _dec_layer_bwd_kernel(
     masks = []
     if drop_thresh > 0:
         ks = 1.0 / (1.0 - drop_thresh / 256.0)
+        if drop_impl == "prng":
+            lbytes = pdrop.draw_layer_bytes(
+                drop_ref[0], layer, pl.program_id(0), NB, T, d, 3)
+        else:
+            lbytes = [drop_ref[s].reshape(M, d).astype(jnp.int32)
+                      for s in range(3)]
         for site in range(3):
             masks.append(jnp.where(
-                drop_ref[site].reshape(M, d).astype(jnp.int32)
-                >= drop_thresh, ks, 0.0).astype(f32))
+                lbytes[site] >= drop_thresh, ks, 0.0).astype(f32))
 
     first = pl.program_id(0) == 0
 
@@ -467,14 +489,14 @@ def _biases(self_key_mask, cross_key_mask):
 
 def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
                   use_smask, use_cmask, qk_norm, drop_thresh, final_ln,
-                  collect):
+                  collect, drop_impl="bits"):
     B, T, d = x.shape
     Mq = mem.shape[1]
     dff = wlist[_DWKEYS.index("w1")].shape[2]
     extra = 0
     if collect:
         extra += L * T * d * x.dtype.itemsize     # xins block
-    if drop_thresh > 0:
+    if drop_thresh > 0 and drop_impl == "bits":
         extra += 3 * L * T * d                    # u8 dropout bits
     NB = _fwd_nb(B, T, d, dff, H, x.dtype.itemsize, extra_per_batch=extra)
     spec_x = _specs_x(NB, T, d)
@@ -493,9 +515,12 @@ def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
                 + [_spec_const(a.shape) for a in core])
     operands = [x, mem, sbias, cbias] + core
     if drop_thresh > 0:
-        in_specs.append(
-            pl.BlockSpec((3 * L, NB, T, d), lambda g: (0, g, 0, 0),
-                         memory_space=pltpu.VMEM))
+        if drop_impl == "prng":
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        else:
+            in_specs.append(
+                pl.BlockSpec((3 * L, NB, T, d), lambda g: (0, g, 0, 0),
+                             memory_space=pltpu.VMEM))
         operands.append(drop)
     out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
     out_specs = [spec_x]
@@ -509,7 +534,7 @@ def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
             _dec_stack_kernel, L=L, H=H, Dh=Dh, scale=1.0 / (Dh ** 0.5),
             use_smask=use_smask, use_cmask=use_cmask, qk_norm=qk_norm,
             final_ln=final_ln, collect_inputs=collect,
-            drop_thresh=drop_thresh),
+            drop_thresh=drop_thresh, drop_impl=drop_impl),
         grid=(B // NB,),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if collect else out_specs[0],
@@ -522,7 +547,8 @@ def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
 
 
 def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
-                   use_smask, use_cmask, qk_norm, drop_thresh):
+                   use_smask, use_cmask, qk_norm, drop_thresh,
+                   drop_impl="bits", layer=0):
     B, T, d = x.shape
     Mq = mem.shape[1]
     dff = wl["w1"].shape[1]
@@ -536,9 +562,13 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
     spec_cb = (pl.BlockSpec((NB, 1, Mq), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)
                if use_cmask else _spec_const(cbias.shape))
-    spec_drop = (pl.BlockSpec((3, NB, T, d), lambda g: (0, g, 0, 0),
-                              memory_space=pltpu.VMEM)
-                 if drop_thresh > 0 else _spec_const(drop.shape))
+    if drop_thresh > 0 and drop_impl == "prng":
+        spec_drop = pl.BlockSpec(memory_space=pltpu.SMEM)  # (1,) seed
+    elif drop_thresh > 0:
+        spec_drop = pl.BlockSpec((3, NB, T, d), lambda g: (0, g, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        spec_drop = _spec_const(drop.shape)
     warg = [wl[k] for k in _DWKEYS]
     dw_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in warg]
     out_shape = (jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -549,7 +579,7 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
         functools.partial(
             _dec_layer_bwd_kernel, H=H, Dh=Dh, scale=scale,
             use_smask=use_smask, use_cmask=use_cmask, qk_norm=qk_norm,
-            drop_thresh=drop_thresh),
+            drop_thresh=drop_thresh, drop_impl=drop_impl, layer=layer),
         grid=(B // NB,),
         in_specs=[spec_x, spec_mem, spec_x, spec_sb, spec_cb, spec_drop]
         + [_spec_const(a.shape) for a in warg],
@@ -565,38 +595,43 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _dec_stack_train(x, mem, sbias, cbias, L, H, Dh, flags, drop, *wlist):
-    use_smask, use_cmask, qk_norm, thresh = flags
+    use_smask, use_cmask, qk_norm, thresh, drop_impl = flags
     y, _ = _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, L=L, H=H,
                          Dh=Dh, use_smask=use_smask, use_cmask=use_cmask,
                          qk_norm=qk_norm, drop_thresh=thresh,
-                         final_ln=False, collect=False)
+                         final_ln=False, collect=False,
+                         drop_impl=drop_impl)
     return y
 
 
 def _dec_stack_train_fwd(x, mem, sbias, cbias, L, H, Dh, flags, drop,
                          *wlist):
-    use_smask, use_cmask, qk_norm, thresh = flags
+    use_smask, use_cmask, qk_norm, thresh, drop_impl = flags
     y, xins = _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, L=L, H=H,
                             Dh=Dh, use_smask=use_smask,
                             use_cmask=use_cmask, qk_norm=qk_norm,
                             drop_thresh=thresh, final_ln=False,
-                            collect=True)
+                            collect=True, drop_impl=drop_impl)
     return y, (xins, mem, sbias, cbias, drop, wlist)
 
 
 def _dec_stack_train_bwd(L, H, Dh, flags, res, g):
-    use_smask, use_cmask, qk_norm, thresh = flags
+    use_smask, use_cmask, qk_norm, thresh, drop_impl = flags
     xins, mem, sbias, cbias, drop, wlist = res
     scale = 1.0 / (Dh ** 0.5)
     dws = []
     dmem_total = None
     for i in reversed(range(L)):
         wl = {k: _row(a[i]) for k, a in zip(_DWKEYS, wlist)}
-        drop_i = drop[3 * i:3 * i + 3] if thresh > 0 else drop
+        if thresh > 0 and drop_impl == "bits":
+            drop_i = drop[3 * i:3 * i + 3]
+        else:
+            drop_i = drop           # (1,) prng seed, or unused dummy
         g, dmem, dwl = _dec_layer_bwd(
             xins[i], mem, g, sbias, cbias, drop_i, wl, H=H, Dh=Dh,
             scale=scale, use_smask=use_smask, use_cmask=use_cmask,
-            qk_norm=qk_norm, drop_thresh=thresh)
+            qk_norm=qk_norm, drop_thresh=thresh, drop_impl=drop_impl,
+            layer=i)
         dmem_total = dmem if dmem_total is None else dmem_total + dmem
         dws.append(dwl)
     dws = dws[::-1]
@@ -621,25 +656,35 @@ def fused_decoder_stack_train(
     qk_norm: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_impl: str = "auto",
 ) -> jnp.ndarray:
     """Differentiable fused decoder stack WITHOUT the final LayerNorm
-    (apply ops.pallas_encoder_train.apply_final_ln after)."""
+    (apply ops.pallas_encoder_train.apply_final_ln after).
+
+    ``dropout_impl``: 'bits' = external u8 tensor shared by fwd/bwd;
+    'prng' = in-kernel hardware PRNG (TPU only, no HBM bits traffic);
+    'auto' = 'prng' on TPU else 'bits' (ops/pallas_dropout.py)."""
     B, T, d = x.shape
     L = w["s_wqkv"].shape[0]
     H = num_heads
     Dh = d // H
     sbias, cbias = _biases(self_key_mask, cross_key_mask)
     thresh = int(round(dropout_rate * 256))
+    impl = "bits"
     if thresh > 0:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 requires dropout_rng")
-        drop = jax.random.bits(dropout_rng, (3 * L, B, T, d),
-                               dtype=jnp.uint8)
+        impl = pdrop.resolve_impl(dropout_impl)
+        if impl == "prng":
+            drop = pdrop.seed_from_rng(dropout_rng)
+        else:
+            drop = jax.random.bits(dropout_rng, (3 * L, B, T, d),
+                                   dtype=jnp.uint8)
     else:
         drop = jnp.zeros((1, 1), jnp.uint8)
     wlist = [w[k] for k in _DWKEYS]
     flags = (self_key_mask is not None, cross_key_mask is not None,
-             qk_norm, thresh)
+             qk_norm, thresh, impl)
     return _dec_stack_train(x, memory, sbias, cbias, L, H, Dh, flags,
                             drop, *wlist)
 

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sketchformer_tpu.ops import pallas_dropout as pdrop
 from sketchformer_tpu.ops import pallas_packed as pk
 
 NEG_INF = -1e9
@@ -84,12 +85,22 @@ def _stack_kernel(
     packed = kw.get("packed", False)
     final_ln = kw.get("final_ln", True)
     collect = kw.get("collect_inputs", False)
-    # u8 dropout threshold (0 = off). Dropout bits are an EXTERNAL input
-    # (2L, NB, T, d) u8 — generated once in XLA, shared bit-for-bit by the
-    # fwd and bwd kernels, same u8-threshold semantics as models/dropout.py.
+    # u8 dropout threshold (0 = off), semantics of models/dropout.py.
+    # drop_impl='bits': an EXTERNAL (2L, NB, T, d) u8 input generated once
+    # in XLA, shared bit-for-bit by the fwd and bwd kernels.
+    # drop_impl='prng': bytes drawn in-kernel from the hardware PRNG,
+    # keyed per (site, global batch element) so the bwd kernels regenerate
+    # the identical streams at any grid NB (ops/pallas_dropout.py) — this
+    # removes the bits tensor's HBM round-trip (~504 MB/step flagship).
     thresh = kw.get("drop_thresh", 0)
-    refs = list(refs)              # [drop_ref?] o_ref [xins_ref?]
-    drop_ref = refs.pop(0) if thresh > 0 else None
+    drop_impl = kw.get("drop_impl", "bits")
+    refs = list(refs)              # [drop_ref | seed_ref?] o_ref [xins_ref?]
+    drop_ref = seed_ref = None
+    if thresh > 0:
+        if drop_impl == "prng":
+            seed_ref = refs.pop(0)             # (1,) int32 in SMEM
+        else:
+            drop_ref = refs.pop(0)
     o_ref = refs.pop(0)
     xins_ref = refs.pop(0) if collect else None  # (L, NB, T, d)
     NB, T, d = x_ref.shape
@@ -103,16 +114,25 @@ def _stack_kernel(
     if use_mask:
         kbias = bias_ref[:]                      # (NB, 1, T) f32 additive
 
-    def drop(val, site):
+    def drop(val, site, bpane=None):
         if thresh == 0:
             return val
-        # i32 widen: Mosaic has no u8 compare on this target
-        bits = drop_ref[site].reshape(M, d).astype(jnp.int32)
+        if drop_impl == "prng":
+            bits = bpane        # pre-drawn (M, d) byte pane for this site
+        else:
+            # i32 widen: Mosaic has no u8 compare on this target
+            bits = drop_ref[site].reshape(M, d).astype(jnp.int32)
         return jnp.where(bits >= thresh, val * keep_scale, 0).astype(dt)
 
     for i in range(L):
         if collect:
             xins_ref[i] = x.reshape(NB, T, d)
+        if thresh > 0 and drop_impl == "prng":
+            # one PRNG draw per layer serves both sites (bytes 0 and 1)
+            lbytes = pdrop.draw_layer_bytes(
+                seed_ref[0], i, pl.program_id(0), NB, T, d, 2)
+        else:
+            lbytes = (None, None)
         # ---- attention sublayer (pre-LN) --------------------------------
         h = _ln(x, ln1s_ref, ln1b_ref, i, dt)
         qkv = jax.lax.dot_general(
@@ -166,7 +186,7 @@ def _stack_kernel(
             attn, wo_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dt) + bo_ref[i:i + 1, :].astype(dt)
-        x = x + drop(attn, 2 * i)
+        x = x + drop(attn, 2 * i, lbytes[0])
         # ---- FFN sublayer (pre-LN) --------------------------------------
         h = _ln(x, ln2s_ref, ln2b_ref, i, dt)
         h = jax.lax.dot_general(
@@ -178,7 +198,7 @@ def _stack_kernel(
             h, w2_ref[i], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dt) + b2_ref[i:i + 1, :].astype(dt)
-        x = x + drop(h, 2 * i + 1)
+        x = x + drop(h, 2 * i + 1, lbytes[1])
 
     if final_ln:
         x = _ln(x, lnfs_ref, lnfb_ref, 0, dt)

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sketchformer_tpu.ops import pallas_dropout as pdrop
 from sketchformer_tpu.ops.pallas_encoder import (
     LN_EPS,
     NEG_INF,
@@ -106,6 +107,7 @@ def _layer_bwd_kernel(
     dwo_ref, dbo_ref, dln2s_ref, dln2b_ref,
     dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, H, Dh, scale, use_mask, qk_norm, drop_thresh,
+    drop_impl="bits", layer=0,
 ):
     NB, T, d = x_ref.shape
     dt = x_ref.dtype
@@ -117,16 +119,22 @@ def _layer_bwd_kernel(
     ln1s = ln1s_ref[0:1, :]
     ln2s = ln2s_ref[0:1, :]
     if drop_thresh > 0:
-        # (2, NB, T, d) u8 bits for this layer's two sites -> f32 scale
-        # masks, identical in the fwd kernel's recompute (same bits input)
+        # this layer's two site masks, identical to the fwd kernel's:
+        # 'bits' reads the shared external u8 tensor; 'prng' regenerates
+        # the per-(site, batch-element) hardware-PRNG streams (the draw is
+        # grid-NB-invariant, so fwd NB != bwd NB is fine)
         ks = 1.0 / (1.0 - drop_thresh / 256.0)
-        # i32 widen: Mosaic has no u8 compare on this target
-        m_attn = jnp.where(
-            drop_ref[0].reshape(M, d).astype(jnp.int32) >= drop_thresh,
-            ks, 0.0).astype(f32)
-        m_ffn = jnp.where(
-            drop_ref[1].reshape(M, d).astype(jnp.int32) >= drop_thresh,
-            ks, 0.0).astype(f32)
+        if drop_impl == "prng":
+            lbytes = pdrop.draw_layer_bytes(
+                drop_ref[0], layer, pl.program_id(0), NB, T, d, 2)
+        else:
+            # i32 widen: Mosaic has no u8 compare on this target
+            lbytes = [drop_ref[s].reshape(M, d).astype(jnp.int32)
+                      for s in range(2)]
+        m_attn = jnp.where(lbytes[0] >= drop_thresh, ks, 0.0
+                           ).astype(f32)
+        m_ffn = jnp.where(lbytes[1] >= drop_thresh, ks, 0.0
+                          ).astype(f32)
 
     # ---------------- recompute forward ----------------------------------
     h1_32, xhat1, rstd1 = _ln_fwd32(x, ln1s, ln1b_ref[0:1, :])
@@ -280,7 +288,7 @@ def _spec_const(shape):
 
 
 def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
-               drop_thresh):
+               drop_thresh, drop_impl="bits", layer=0):
     """One layer's backward: returns (dx, dW dict) via one pallas call."""
     B, T, d = x.shape
     dff = wl["w1"].shape[1]
@@ -291,7 +299,9 @@ def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
                                  memory_space=pltpu.VMEM)
     else:
         spec_bias = _spec_const(bias.shape)
-    if drop_thresh > 0:
+    if drop_thresh > 0 and drop_impl == "prng":
+        spec_drop = pl.BlockSpec(memory_space=pltpu.SMEM)  # (1,) seed
+    elif drop_thresh > 0:
         spec_drop = pl.BlockSpec((2, NB, T, d), lambda g: (0, g, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
@@ -303,7 +313,8 @@ def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
     res = pl.pallas_call(
         functools.partial(
             _layer_bwd_kernel, H=H, Dh=Dh, scale=scale,
-            use_mask=use_mask, qk_norm=qk_norm, drop_thresh=drop_thresh),
+            use_mask=use_mask, qk_norm=qk_norm, drop_thresh=drop_thresh,
+            drop_impl=drop_impl, layer=layer),
         grid=(B // NB,),
         in_specs=[spec_x, spec_x, spec_bias, spec_drop] + [
             _spec_const(a.shape) for a in warg],
@@ -332,13 +343,13 @@ def _row(a):
 
 
 def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
-                    drop_thresh, collect):
+                    drop_thresh, collect, drop_impl="bits"):
     B, T, d = x.shape
     dff = wlist[_WKEYS.index("w1")].shape[2]
     extra = 0
     if collect:
         extra += L * T * d * x.dtype.itemsize     # xins block
-    if drop_thresh > 0:
+    if drop_thresh > 0 and drop_impl == "bits":
         extra += 2 * L * T * d                    # u8 dropout bits
     NB = _batches_per_cell(B, T, d, dff, H, x.dtype.itemsize,
                            extra_per_batch=extra)
@@ -354,9 +365,12 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
     in_specs = [spec_x, spec_bias] + [_spec_const(a.shape) for a in wargs]
     operands = [x, bias] + wargs
     if drop_thresh > 0:
-        in_specs.append(
-            pl.BlockSpec((2 * L, NB, T, d), lambda g: (0, g, 0, 0),
-                         memory_space=pltpu.VMEM))
+        if drop_impl == "prng":
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        else:
+            in_specs.append(
+                pl.BlockSpec((2 * L, NB, T, d), lambda g: (0, g, 0, 0),
+                             memory_space=pltpu.VMEM))
         operands.append(drop)
     out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
     out_specs = [spec_x]
@@ -370,7 +384,8 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
         functools.partial(
             _stack_kernel, L=L, H=H, Dh=Dh, scale=1.0 / (Dh ** 0.5),
             use_mask=use_mask, qk_norm=qk_norm, final_ln=False,
-            collect_inputs=collect, drop_thresh=drop_thresh),
+            collect_inputs=collect, drop_thresh=drop_thresh,
+            drop_impl=drop_impl),
         grid=(B // NB,),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if collect else out_specs[0],
@@ -384,32 +399,38 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _stack_train(x, bias, drop, L, H, Dh, flags, *wlist):
-    use_mask, qk_norm, drop_thresh = flags
+    use_mask, qk_norm, drop_thresh, drop_impl = flags
     y, _ = _stack_fwd_call(x, bias, drop, wlist, L=L, H=H, Dh=Dh,
                            use_mask=use_mask, qk_norm=qk_norm,
-                           drop_thresh=drop_thresh, collect=False)
+                           drop_thresh=drop_thresh, collect=False,
+                           drop_impl=drop_impl)
     return y
 
 
 def _stack_train_fwd(x, bias, drop, L, H, Dh, flags, *wlist):
-    use_mask, qk_norm, drop_thresh = flags
+    use_mask, qk_norm, drop_thresh, drop_impl = flags
     y, xins = _stack_fwd_call(x, bias, drop, wlist, L=L, H=H, Dh=Dh,
                               use_mask=use_mask, qk_norm=qk_norm,
-                              drop_thresh=drop_thresh, collect=True)
+                              drop_thresh=drop_thresh, collect=True,
+                              drop_impl=drop_impl)
     return y, (xins, bias, drop, wlist)
 
 
 def _stack_train_bwd(L, H, Dh, flags, res, g):
-    use_mask, qk_norm, drop_thresh = flags
+    use_mask, qk_norm, drop_thresh, drop_impl = flags
     xins, bias, drop, wlist = res
     scale = 1.0 / (Dh ** 0.5)
     dws = []
     for i in reversed(range(L)):
         wl = {k: _row(a[i]) for k, a in zip(_WKEYS, wlist)}
-        drop_i = drop[2 * i:2 * i + 2] if drop_thresh > 0 else drop
+        if drop_thresh > 0 and drop_impl == "bits":
+            drop_i = drop[2 * i:2 * i + 2]
+        else:
+            drop_i = drop           # (1,) prng seed, or unused dummy
         g, dwl = _layer_bwd(xins[i], g, bias, drop_i, wl, H=H, Dh=Dh,
                             scale=scale, use_mask=use_mask,
-                            qk_norm=qk_norm, drop_thresh=drop_thresh)
+                            qk_norm=qk_norm, drop_thresh=drop_thresh,
+                            drop_impl=drop_impl, layer=i)
         dws.append(dwl)
     dws = dws[::-1]
     dwlist = []
@@ -431,6 +452,7 @@ def fused_encoder_stack_train(
     qk_norm: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    dropout_impl: str = "auto",
 ) -> jnp.ndarray:
     """Differentiable fused encoder stack WITHOUT the final LayerNorm.
 
@@ -440,8 +462,10 @@ def fused_encoder_stack_train(
 
     Dropout (two sites per layer: post-attention-projection and post-FFN,
     matching models/transformer.py) uses the u8-threshold semantics of
-    models/dropout.py; the bits are drawn ONCE here in XLA and consumed
-    bit-for-bit by the fwd and bwd kernels.
+    models/dropout.py. ``dropout_impl``: 'bits' draws the bytes ONCE here
+    in XLA and the fwd/bwd kernels consume them bit-for-bit; 'prng'
+    regenerates them in-kernel from the hardware PRNG (no HBM bits
+    traffic — TPU only); 'auto' picks 'prng' on TPU, 'bits' elsewhere.
     """
     B, T, d = x.shape
     L = w["wqkv"].shape[0]
@@ -454,16 +478,21 @@ def fused_encoder_stack_train(
     else:
         bias = jnp.zeros((1, 1), jnp.float32)
     thresh = int(round(dropout_rate * 256))
+    impl = "bits"
     if thresh > 0:
         if dropout_rng is None:
             raise ValueError("dropout_rate > 0 requires dropout_rng")
-        drop = jax.random.bits(dropout_rng, (2 * L, B, T, d),
-                               dtype=jnp.uint8)
+        impl = pdrop.resolve_impl(dropout_impl)
+        if impl == "prng":
+            drop = pdrop.seed_from_rng(dropout_rng)
+        else:
+            drop = jax.random.bits(dropout_rng, (2 * L, B, T, d),
+                                   dtype=jnp.uint8)
     else:
         drop = jnp.zeros((1, 1), jnp.uint8)
     wlist = [w[k] for k in _WKEYS]
     return _stack_train(x, bias, drop, L, H, Dh,
-                        (use_mask, qk_norm, thresh), *wlist)
+                        (use_mask, qk_norm, thresh, impl), *wlist)
 
 
 def apply_final_ln(y: jnp.ndarray, w: dict) -> jnp.ndarray:
