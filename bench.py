@@ -199,11 +199,64 @@ def main() -> None:
     _value(m["loss"])
     extras["train_sketches_per_sec"] = round(
         TB * iters / (time.perf_counter() - t0), 1)
+
+    # --- reference head geometry (num_heads=8, head_dim=32) -------------
+    # SURVEY §2 specifies H≈8; the packed small-head kernels serve it
+    # without fallback. Reported beside the TPU-shaped flagship so both
+    # geometries are first-class in the artifact (VERDICT r2 items 1+8).
+    if on_tpu:
+        import dataclasses
+
+        cfg8 = dataclasses.replace(cfg, num_heads=8)
+        model8 = Sketchformer(cfg8)
+        params8 = model8.init(
+            jax.random.PRNGKey(0), enc[:8], dec_in[:8])["params"]
+        for T8, tag in ((SEQ, "T96"), (192, "T192")):
+            m8 = (model8 if T8 == SEQ
+                  else Sketchformer(dataclasses.replace(cfg8, max_len=T8)))
+            e8 = jnp.asarray(tok_batch(ENC_BATCH, T8))
+            p8 = m8.init(jax.random.PRNGKey(0), e8[:8],
+                         jnp.roll(e8[:8], 1, axis=1).at[:, 0].set(1)
+                         )["params"]
+            t8 = {}
+            for N in (N1, N2):
+                f = chained_embed(N, mdl=m8)
+                _value(f(p8, e8))
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _value(f(p8, e8))
+                    ts.append(time.perf_counter() - t0)
+                t8[N] = min(ts)
+            sk8 = ENC_BATCH / ((t8[N2] - t8[N1]) / (N2 - N1))
+            extras[f"encode_{tag}_h8_sketches_per_sec"] = round(sk8, 1)
+        decode8 = dec.make_token_decoder(model8, max_len=DEC_LEN)
+        np.asarray(decode8(params8, enc_d))
+        lat8 = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(decode8(params8, enc_d))
+            lat8.append(time.perf_counter() - t0)
+        extras["decode_p50_ms_h8"] = round(
+            float(np.percentile(lat8, 50)) * 1e3, 2)
+        state8 = create_train_state(model8, tx, jax.random.PRNGKey(0),
+                                    batch)
+        step8 = make_train_step(model8, tx)
+        state8, m8_ = step8(state8, batch)
+        _value(m8_["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state8, m8_ = step8(state8, batch)
+        _value(m8_["loss"])
+        extras["train_sketches_per_sec_h8"] = round(
+            TB * iters / (time.perf_counter() - t0), 1)
+
     extras["backend"] = jax.default_backend()
     extras["seq_len"] = SEQ
     extras["batch"] = ENC_BATCH
     extras["num_heads"] = cfg.num_heads
-    extras["config"] = "d256-L8-dff512-bf16-pallas"
+    extras["config"] = "d256-L8-H2x128-dff512-bf16-pallas"
+    extras["config_h8"] = "d256-L8-H8x32-dff512-bf16-pallas (reference geometry)"
 
     print(json.dumps({
         "metric": "encode_sketches_per_sec_per_chip",

@@ -92,7 +92,7 @@ def make_token_decoder(
 
         ok, why = fast_decode_support(model)
         if ok:
-            note_engine("decode", "fused-step-kernel")
+            note_engine("decode", "fused-chunk-kernel")
             return make_fast_token_decoder(model, max_len=T)
         note_engine("decode", "composed", why)
 
@@ -193,11 +193,24 @@ def make_cont_decoder(
 
     ``temperature == 0`` -> greedy (argmax component mean / pen state).
     ``early_exit`` as in :func:`make_token_decoder` (stops when every row
-    has emitted PEN_END).
+    has emitted PEN_END). Greedy mode routes through the fused MDN chunk
+    kernel when the config supports it (infer/fast_decode.py).
     """
     cfg = model.config
     T = _check_len(cfg, max_len or cfg.max_len)
     greedy = temperature <= 0.0
+    if greedy and early_exit:
+        from sketchformer_tpu.infer.fast_decode import (
+            fast_cont_decode_support,
+            make_fast_cont_decoder,
+        )
+        from sketchformer_tpu.utils.engines import note_engine
+
+        ok, why = fast_cont_decode_support(model, greedy=True)
+        if ok:
+            note_engine("cont-decode", "fused-chunk-kernel")
+            return make_fast_cont_decoder(model, max_len=T)
+        note_engine("cont-decode", "composed", why)
 
     def decode(params, enc, enc_mask, rng):
         B = enc.shape[0]

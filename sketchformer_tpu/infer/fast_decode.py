@@ -1,34 +1,51 @@
-"""Fast batched greedy decode: one kernel per AR step.
+"""Fast batched greedy decode: K whole AR steps per kernel call.
 
 Serving-engine companion to infer/fast_encode.py — a pure-function decode
-loop over the flax param pytree where the whole decoder stack runs as ONE
-pallas call per step (ops/pallas_decode_stack.py) instead of ~100 XLA ops.
-Token semantics are identical to infer.decode.make_token_decoder (SOS
-start, PAD/SOS logits masked, EOS finishes a row, finished rows emit PAD,
-while_loop early exit) — pinned by tests/test_fast_decode.py.
+loop over the flax param pytree where K consecutive greedy steps (decoder
+stack + vocab head + argmax + EOS logic) run as ONE pallas call
+(ops/pallas_decode_loop.py), amortizing cache refetch, weight fetch, and
+launch overhead K-fold over round 2's one-kernel-per-step engine
+(ops/pallas_decode_stack.py, kept for probes/ablation). Token semantics
+are identical to infer.decode.make_token_decoder (SOS start, PAD/SOS
+logits masked, EOS finishes a row, finished rows emit PAD, while_loop
+early exit at chunk granularity) — pinned by tests/test_fast_decode.py.
 
-Supported: token mode, pre-LN, attn/mean bottleneck (fixed-size memory).
-``make_fast_token_decoder`` falls back to the composed decoder otherwise.
+Supported: token mode, pre-LN, attn/mean bottleneck (fixed-size memory),
+any head_dim with 128 % head_dim == 0 (the reference H=8/Dh=32 geometry
+included). ``make_fast_token_decoder`` falls back to the composed decoder
+otherwise.
 """
 
 from __future__ import annotations
 
 from typing import Callable, Optional
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from sketchformer_tpu.data.tokenizer import EOS_ID, PAD_ID, SOS_ID
 from sketchformer_tpu.models.embeddings import sinusoidal_position_encoding
 from sketchformer_tpu.models.sketchformer import Sketchformer
-from sketchformer_tpu.ops.pallas_decode_stack import (
-    fused_decode_step,
-    precompute_cross_kv,
+from sketchformer_tpu.ops.pallas_decode_loop import (
+    DEFAULT_STEPS_PER_CALL,
+    fused_decode_chunk,
 )
+from sketchformer_tpu.ops.pallas_decode_stack import precompute_cross_kv
 from sketchformer_tpu.ops.pallas_decoder_train import stack_decoder_weights
 
 NEG_INF = -1e9
+
+
+def fast_cont_decode_support(model: Sketchformer, backend: str = None,
+                             greedy: bool = True):
+    """(supported, reason-declined) for the fused MDN chunk engine."""
+    cfg = model.config
+    if not cfg.use_continuous:
+        return False, "token mode (use fast_decode_support)"
+    if not greedy:
+        return False, "temperature sampling (greedy only in-kernel)"
+    ok, why = _structural_support(cfg, backend)
+    return ok, why
 
 
 def fast_decode_support(model: Sketchformer, backend: str = None):
@@ -38,6 +55,10 @@ def fast_decode_support(model: Sketchformer, backend: str = None):
     cfg = model.config
     if cfg.use_continuous:
         return False, "continuous/MDN mode"
+    return _structural_support(cfg, backend)
+
+
+def _structural_support(cfg, backend=None):
     if not cfg.norm_first:
         return False, "post-LN config"
     if cfg.bottleneck_mode not in ("attn", "mean"):
@@ -46,14 +67,14 @@ def fast_decode_support(model: Sketchformer, backend: str = None):
         return False, "d_model not divisible by num_heads"
     backend = backend or jax.default_backend()
     if backend == "tpu":
-        # the kernel's head fold is a (NB, H*Dh) -> (NB*H, Dh) minor-dim
-        # reshape — Mosaic only supports it at full 128-lane widths
-        # (d128/H4 -> Dh=32 fails with "unsupported shape cast"); the
-        # composed path serves small-head configs
-        if (cfg.d_model // cfg.num_heads) % 128:
+        # the chunked kernel's head fold is a (NB, H*Dh) -> (NB*H, Dh)
+        # minor-dim reshape — Mosaic supports it for lane-aligned head
+        # widths; 128 % Dh == 0 covers both the TPU-shaped flagship
+        # (Dh=128) and the reference H=8/Dh=32 geometry
+        dh = cfg.d_model // cfg.num_heads
+        if dh > 128 or 128 % dh:
             return False, (
-                f"head_dim={cfg.d_model // cfg.num_heads} < 128 (Mosaic "
-                "head-fold reshape needs full-lane heads)")
+                f"head_dim={dh} not a divisor of the 128-lane width")
     return True, ""
 
 
@@ -61,59 +82,52 @@ def supports_fast_decode(model: Sketchformer) -> bool:
     return fast_decode_support(model)[0]
 
 
-def _decode_ids_from_memory(model, params, memory, B, T):
+def _decode_ids_from_memory(model, params, memory, B, T,
+                            steps_per_call: Optional[int] = None):
     cfg = model.config
     dt = cfg.compute_dtype
     L, H = cfg.num_layers, cfg.num_heads
     d = cfg.d_model
     Dh = d // H
-    Tmax = T + Sketchformer.CACHE_PAD  # spare slots (TPU NaN-bug zone)
+    K = steps_per_call or min(DEFAULT_STEPS_PER_CALL, T)
+    Tp = ((T + K - 1) // K) * K            # chunk-aligned horizon
+    Tmax = Tp + Sketchformer.CACHE_PAD     # spare slots (TPU NaN-bug zone)
     w = stack_decoder_weights(params["decoder"], num_layers=L,
                               compute_dtype=dt)
     ck, cv = precompute_cross_kv(memory, w, num_heads=H,
                                  qk_norm=cfg.qk_norm)
     emb = params["dec_embed"]["embed"]["embedding"].astype(dt)
     pos_table = jnp.asarray(
-        sinusoidal_position_encoding(cfg.max_len, d), dt)
-    sqrt_d = jnp.asarray(np.sqrt(d), dt)
+        sinusoidal_position_encoding(max(cfg.max_len, Tp), d), dt)
     hw = params["out_head"]["proj"]["kernel"].astype(dt)
     hb = params["out_head"]["proj"]["bias"].astype(jnp.float32)
 
     kc0 = jnp.zeros((L, B * H, Tmax, Dh), dt)
     vc0 = jnp.zeros_like(kc0)
-    prev0 = jnp.full((B,), SOS_ID, jnp.int32)
-    fin0 = jnp.zeros((B,), bool)
-    out0 = jnp.full((B, T), PAD_ID, jnp.int32)
-
-    def step(kc, vc, prev, finished, t):
-        x = emb[prev] * sqrt_d + pos_table[t]          # (B, d)
-        h, kn, vn = fused_decode_step(
-            x, kc, vc, ck, cv, w, t, num_heads=H, qk_norm=cfg.qk_norm)
-        kc = jax.lax.dynamic_update_slice(
-            kc, kn[:, :, None, :], (0, 0, t, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, vn[:, :, None, :], (0, 0, t, 0))
-        logits = (h @ hw).astype(jnp.float32) + hb     # (B, V)
-        logits = logits.at[:, PAD_ID].set(NEG_INF).at[:, SOS_ID].set(
-            NEG_INF)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        nxt = jnp.where(finished, PAD_ID, nxt)
-        finished = jnp.logical_or(finished, nxt == EOS_ID)
-        return kc, vc, nxt, finished
+    prev0 = jnp.full((B, 1), SOS_ID, jnp.int32)
+    fin0 = jnp.zeros((B, 1), jnp.int32)
+    out0 = jnp.full((B, Tp), PAD_ID, jnp.int32)
 
     def cond(carry):
         _, _, _, finished, t, _ = carry
-        return jnp.logical_and(t < T, jnp.logical_not(finished.all()))
+        return jnp.logical_and(t < Tp, jnp.logical_not(
+            (finished != 0).all()))
 
     def body(carry):
         kc, vc, prev, finished, t, out = carry
-        kc, vc, nxt, finished = step(kc, vc, prev, finished, t)
-        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, t))
-        return (kc, vc, nxt, finished, t + 1, out)
+        pos_chunk = jax.lax.dynamic_slice(pos_table, (t, 0), (K, d))
+        ids, finished, kn, vn = fused_decode_chunk(
+            prev, finished, kc, vc, ck, cv, emb, pos_chunk, hw, hb, w, t,
+            num_heads=H, qk_norm=cfg.qk_norm,
+            pad_id=PAD_ID, sos_id=SOS_ID, eos_id=EOS_ID)
+        kc = jax.lax.dynamic_update_slice(kc, kn, (0, 0, t, 0))
+        vc = jax.lax.dynamic_update_slice(vc, vn, (0, 0, t, 0))
+        out = jax.lax.dynamic_update_slice(out, ids, (0, t))
+        return (kc, vc, ids[:, K - 1:K], finished, t + K, out)
 
     _, _, _, _, _, ids = jax.lax.while_loop(
         cond, body, (kc0, vc0, prev0, fin0, jnp.int32(0), out0))
-    return ids
+    return ids[:, :T]
 
 
 def make_fast_token_decoder(
@@ -157,5 +171,125 @@ def make_fast_token_decoder_from_z(
         memory = model.apply(
             {"params": params}, z, method=Sketchformer.memory_from_z)
         return _decode_ids_from_memory(model, params, memory, z.shape[0], T)
+
+    return jax.jit(decode)
+
+
+# ---------------------------------------------------------------------------
+# continuous (MDN) greedy engine — SURVEY §0 regime 2, VERDICT r2 item 5
+# ---------------------------------------------------------------------------
+
+
+def _decode_cont_from_memory_fast(model, params, memory, B, T,
+                                  steps_per_call: Optional[int] = None):
+    from sketchformer_tpu.ops.pallas_decode_loop import (
+        fused_decode_cont_chunk)
+
+    cfg = model.config
+    dt = cfg.compute_dtype
+    L, H = cfg.num_layers, cfg.num_heads
+    d = cfg.d_model
+    Dh = d // H
+    K = steps_per_call or min(DEFAULT_STEPS_PER_CALL, T)
+    Tp = ((T + K - 1) // K) * K
+    Tmax = Tp + Sketchformer.CACHE_PAD
+    w = stack_decoder_weights(params["decoder"], num_layers=L,
+                              compute_dtype=dt)
+    ck, cv = precompute_cross_kv(memory, w, num_heads=H,
+                                 qk_norm=cfg.qk_norm)
+    in_w = params["dec_embed"]["proj"]["kernel"].astype(dt)
+    in_b = params["dec_embed"]["proj"]["bias"].astype(jnp.float32)
+    pos_table = jnp.asarray(
+        sinusoidal_position_encoding(max(cfg.max_len, Tp), d), dt)
+    hw = params["out_head"]["proj"]["kernel"].astype(dt)
+    hb = params["out_head"]["proj"]["bias"].astype(jnp.float32)
+
+    kc0 = jnp.zeros((L, B * H, Tmax, Dh), dt)
+    vc0 = jnp.zeros_like(kc0)
+    # SOS row: (0, 0, pen-down one-hot) — infer.decode's start row
+    prev0 = jnp.zeros((B, 5), jnp.float32).at[:, 3].set(1.0)
+    fin0 = jnp.zeros((B, 1), jnp.int32)
+    xy0 = jnp.zeros((B, Tp, 2), jnp.float32)
+    pen0 = jnp.full((B, Tp), 2, jnp.int32)          # PEN_END padding
+    valid0 = jnp.zeros((B, Tp), jnp.int32)
+
+    def cond(carry):
+        _, _, _, finished, t, _, _, _ = carry
+        return jnp.logical_and(t < Tp, jnp.logical_not(
+            (finished != 0).all()))
+
+    def body(carry):
+        kc, vc, prev, finished, t, xy_buf, pen_buf, valid_buf = carry
+        pos_chunk = jax.lax.dynamic_slice(pos_table, (t, 0), (K, d))
+        xy, pen, valid, finished, kn, vn = fused_decode_cont_chunk(
+            prev, finished, kc, vc, ck, cv, in_w, in_b, pos_chunk,
+            hw, hb, w, t, num_heads=H, num_mixtures=cfg.num_mixtures,
+            qk_norm=cfg.qk_norm)
+        kc = jax.lax.dynamic_update_slice(kc, kn, (0, 0, t, 0))
+        vc = jax.lax.dynamic_update_slice(vc, vn, (0, 0, t, 0))
+        xy_buf = jax.lax.dynamic_update_slice(xy_buf, xy, (0, t, 0))
+        pen_buf = jax.lax.dynamic_update_slice(pen_buf, pen, (0, t))
+        valid_buf = jax.lax.dynamic_update_slice(valid_buf, valid, (0, t))
+        pen_oh = jax.nn.one_hot(pen[:, K - 1], 3, dtype=jnp.float32)
+        prev = jnp.concatenate([xy[:, K - 1, :], pen_oh], axis=-1)
+        return (kc, vc, prev, finished, t + K, xy_buf, pen_buf, valid_buf)
+
+    _, _, _, _, _, xy, pen, valid = jax.lax.while_loop(
+        cond, body, (kc0, vc0, prev0, fin0, jnp.int32(0), xy0, pen0,
+                     valid0))
+    return xy[:, :T], pen[:, :T], valid[:, :T].astype(bool)
+
+
+def make_fast_cont_decoder(
+    model: Sketchformer, max_len: Optional[int] = None,
+    temperature: float = 0.0, early_exit: bool = True,
+) -> Callable:
+    """Jitted greedy ``decode(params, enc, enc_mask, rng) -> (xy, pen,
+    valid)`` on the fused MDN chunk engine — drop-in for
+    infer.decode.make_cont_decoder; composed fallback otherwise."""
+    cfg = model.config
+    greedy = temperature <= 0.0
+    if not fast_cont_decode_support(model, greedy=greedy)[0]:
+        from sketchformer_tpu.infer.decode import make_cont_decoder
+
+        return make_cont_decoder(model, max_len=max_len,
+                                 temperature=temperature,
+                                 early_exit=early_exit)
+    T = max_len or cfg.max_len
+    if T > cfg.max_len:
+        raise ValueError(f"max_len {T} exceeds model max_len {cfg.max_len}")
+
+    def decode(params, enc, enc_mask, rng):
+        del rng  # greedy: deterministic
+        B = enc.shape[0]
+        _, memory, _ = model.apply(
+            {"params": params}, enc, enc_mask, method=Sketchformer.encode)
+        return _decode_cont_from_memory_fast(model, params, memory, B, T)
+
+    return jax.jit(decode)
+
+
+def make_fast_cont_decoder_from_z(
+    model: Sketchformer, max_len: Optional[int] = None,
+    temperature: float = 0.0, early_exit: bool = True,
+) -> Callable:
+    cfg = model.config
+    greedy = temperature <= 0.0
+    if not fast_cont_decode_support(model, greedy=greedy)[0]:
+        from sketchformer_tpu.infer.decode import make_cont_decoder_from_z
+
+        return make_cont_decoder_from_z(model, max_len=max_len,
+                                        temperature=temperature,
+                                        early_exit=early_exit)
+    T = max_len or cfg.max_len
+    if T > cfg.max_len:
+        raise ValueError(f"max_len {T} exceeds model max_len {cfg.max_len}")
+
+    def decode(params, z, rng):
+        del rng
+        memory = model.apply(
+            {"params": params}, z, method=Sketchformer.memory_from_z)
+        return _decode_cont_from_memory_fast(
+            model, params, memory, z.shape[0], T)
 
     return jax.jit(decode)

@@ -31,8 +31,12 @@ price of a 128-wide systolic contraction at Dh=32 (identical to what
 implicit lane padding costs) — but every op runs at full lane width and
 the layer keeps the one-dot-per-matmul structure of the Dh=128 path.
 
-Used by ops/pallas_encoder.py, ops/pallas_{encoder,decoder}_train.py and
-ops/pallas_decode_loop.py whenever 128 % Dh == 0 and (H*Dh) % 128 == 0.
+Used by ops/pallas_encoder.py (the inference/encode hot path) whenever
+128 % Dh == 0 and (H*Dh) % 128 == 0; the group_attn_bwd / ln_blocks_bwd32
+halves are ready for the train kernels (their per-head loops still
+lane-pad small heads — a measured, documented gap, docs/DESIGN.md).
+AR decode serves small heads via the folded-layout chunk kernel in
+ops/pallas_decode_loop.py instead (lane-padded VMEM panes, compact HBM).
 Equivalence with the composed flax path is pinned by the same tests that
 pin the Dh=128 kernels, parameterized over num_heads.
 """

@@ -1,0 +1,118 @@
+"""Per-kernel train cost on the real chip (flagship B=512/T=96).
+
+Times each fused stack in isolation — fwd only and fwd+bwd — plus the
+chunked CE head, with value-forced loops. Locates which kernel owns the
+gap between the 56 ms full step and the ~25 ms fwd+bwd roofline.
+
+Usage: python tools/profile_kernels.py [enc dec ce]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+B, T, d, L, H, dff = 512, 96, 256, 8, 2, 512
+V = 10004
+
+
+def timeit(f, *args, iters=20):
+    out = f(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def setup():
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+
+    cfg = SketchformerConfig(
+        vocab_size=V, num_classes=345, max_len=T, d_model=d,
+        num_layers=L, num_heads=H, dff=dff, dropout=0.1, lowerdim=256,
+        dtype="bfloat16", attn_impl="pallas", qk_norm=True)
+    model = Sketchformer(cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(4, V, size=(8, T)).astype(np.int32)
+    enc = jnp.asarray(ids)
+    dec_in = jnp.roll(enc, 1, axis=1).at[:, 0].set(1)
+    params = model.init(jax.random.PRNGKey(0), enc, dec_in)["params"]
+    x = jnp.asarray(rng.standard_normal((B, T, d)), jnp.bfloat16)
+    return cfg, model, params, x, rng
+
+
+def main(which):
+    jax.config.update("jax_default_prng_impl", "rbg")
+    cfg, model, params, x, rng = setup()
+    drng = jax.random.PRNGKey(1)
+
+    if "enc" in which:
+        from sketchformer_tpu.ops.pallas_encoder import \
+            stack_encoder_weights
+        from sketchformer_tpu.ops.pallas_encoder_train import \
+            fused_encoder_stack_train
+
+        w = stack_encoder_weights(params["encoder"], num_layers=L,
+                                  compute_dtype=jnp.bfloat16)
+
+        def enc_fwd(x):
+            y = fused_encoder_stack_train(
+                x, None, w, num_heads=H, qk_norm=True, dropout_rate=0.1,
+                dropout_rng=drng)
+            return y.astype(jnp.float32).sum()
+
+        print(f"enc fwd      : {timeit(jax.jit(enc_fwd), x):6.2f} ms",
+              flush=True)
+        print(f"enc fwd+bwd  : "
+              f"{timeit(jax.jit(jax.grad(enc_fwd)), x):6.2f} ms",
+              flush=True)
+
+    if "dec" in which:
+        from sketchformer_tpu.ops.pallas_decoder_train import (
+            fused_decoder_stack_train, stack_decoder_weights)
+
+        wd = stack_decoder_weights(params["decoder"], num_layers=L,
+                                   compute_dtype=jnp.bfloat16)
+        mem = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (B, 16, d)), jnp.bfloat16)
+
+        def dec_fwd(x, mem):
+            y = fused_decoder_stack_train(
+                x, mem, None, None, wd, num_heads=H, qk_norm=True,
+                dropout_rate=0.1, dropout_rng=drng)
+            return y.astype(jnp.float32).sum()
+
+        print(f"dec fwd      : {timeit(jax.jit(dec_fwd), x, mem):6.2f} ms",
+              flush=True)
+        ms = timeit(jax.jit(jax.grad(dec_fwd, argnums=(0, 1))), x, mem)
+        print(f"dec fwd+bwd  : {ms:6.2f} ms", flush=True)
+
+    if "ce" in which:
+        from sketchformer_tpu.models.sketchformer import Sketchformer as SK
+
+        tgt = jnp.asarray(np.random.default_rng(2).integers(
+            1, V, (B, T)).astype(np.int32))
+
+        from sketchformer_tpu.models.heads import TokenHead
+
+        head = TokenHead(V, jnp.bfloat16)
+        hp = {"params": params["out_head"]}
+
+        def ce(x):
+            loss, _acc = head.apply(hp, x, tgt, method=TokenHead.fused_ce)
+            return loss
+
+        print(f"ce fwd       : {timeit(jax.jit(ce), x):6.2f} ms",
+              flush=True)
+        print(f"ce fwd+bwd   : {timeit(jax.jit(jax.grad(ce)), x):6.2f} ms",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["enc", "dec", "ce"])
