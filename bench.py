@@ -251,6 +251,88 @@ def main() -> None:
         extras["train_sketches_per_sec_h8"] = round(
             TB * iters / (time.perf_counter() - t0), 1)
 
+    # --- continuous/MDN regime (SURVEY §0 regime 2) ----------------------
+    # first-class perf numbers for cont2cont: encode, greedy MDN decode
+    # (fused chunk engine), and train throughput on the flagship trunk
+    if on_tpu:
+        import dataclasses
+
+        cfgc = dataclasses.replace(
+            cfg, use_continuous=True, num_mixtures=20, max_len=SEQ)
+        modelc = Sketchformer(cfgc)
+        rows = rng.standard_normal((ENC_BATCH, SEQ, 5)).astype(np.float32)
+        rows[..., 2:] = 0.0
+        rows[..., 2] = 1.0
+        rows[:, -4:, 2:] = 0.0
+        rows[:, -4:, 4] = 1.0
+        encc = jnp.asarray(rows)
+        maskc = jnp.ones((ENC_BATCH, SEQ), jnp.float32)
+        paramsc = modelc.init(
+            jax.random.PRNGKey(0), encc[:8], encc[:8],
+            enc_mask=maskc[:8], dec_key_mask=maskc[:8])["params"]
+
+        from sketchformer_tpu.infer.fast_encode import fast_embed
+
+        def chained_cont(N):
+            @jax.jit
+            def f(params, enc, mask):
+                def body(c, _):
+                    z = fast_embed(modelc, params, enc + c, mask)
+                    return (z[:, :1, None] * 1e-20).astype(enc.dtype), \
+                        z.sum()
+                _, zs = jax.lax.scan(
+                    body, jnp.zeros_like(enc[:, :1, :1]), None, length=N)
+                return zs.sum()
+            return f
+
+        tc = {}
+        for N in (N1, N2):
+            f = chained_cont(N)
+            _value(f(paramsc, encc, maskc))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _value(f(paramsc, encc, maskc))
+                ts.append(time.perf_counter() - t0)
+            tc[N] = min(ts)
+        extras["cont_encode_sketches_per_sec"] = round(
+            ENC_BATCH / ((tc[N2] - tc[N1]) / (N2 - N1)), 1)
+
+        cdecode = dec.make_cont_decoder(modelc, max_len=SEQ)
+        rowsd = rows[:DEC_BATCH]
+        encd = jnp.asarray(rowsd)
+        maskd = jnp.ones((DEC_BATCH, SEQ), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        np.asarray(cdecode(paramsc, encd, maskd, key)[0])
+        latc = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(cdecode(paramsc, encd, maskd, key)[0])
+            latc.append(time.perf_counter() - t0)
+        extras["cont_decode_p50_ms"] = round(
+            float(np.percentile(latc, 50)) * 1e3, 2)
+
+        pen_cls = np.argmax(rows[:TB, :, 2:], axis=-1).astype(np.int32)
+        batchc = {
+            "enc": rows[:TB], "dec_in": rows[:TB],
+            "tgt_xy": rows[:TB, :, :2].astype(np.float32),
+            "tgt_pen": pen_cls,
+            "enc_mask": np.asarray(maskc[:TB]),
+            "dec_mask": np.asarray(maskc[:TB]),
+            "label": rng.integers(0, 345, TB).astype(np.int32),
+        }
+        statec = create_train_state(modelc, tx, jax.random.PRNGKey(0),
+                                    batchc)
+        stepc = make_train_step(modelc, tx)
+        statec, mc = stepc(statec, batchc)
+        _value(mc["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            statec, mc = stepc(statec, batchc)
+        _value(mc["loss"])
+        extras["cont_train_sketches_per_sec"] = round(
+            TB * iters / (time.perf_counter() - t0), 1)
+
     extras["backend"] = jax.default_backend()
     extras["seq_len"] = SEQ
     extras["batch"] = ENC_BATCH

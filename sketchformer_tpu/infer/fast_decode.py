@@ -68,13 +68,21 @@ def _structural_support(cfg, backend=None):
     backend = backend or jax.default_backend()
     if backend == "tpu":
         # the chunked kernel's head fold is a (NB, H*Dh) -> (NB*H, Dh)
-        # minor-dim reshape — Mosaic supports it for lane-aligned head
-        # widths; 128 % Dh == 0 covers both the TPU-shaped flagship
-        # (Dh=128) and the reference H=8/Dh=32 geometry
+        # minor-dim reshape — Mosaic rejects it below full lane width
+        # ("infer-vector-layout: unsupported shape cast" at Dh=32, v5e).
+        # Packing hpp=128/Dh heads per lane pane would compile but cannot
+        # win: the measured decode floor is SERIAL op count (~120 small
+        # ops/step, invariant to vocab and decoded length), and packed
+        # attention still issues hpp*Hg = H per-head score/ctx op chains
+        # — same count as the composed fallback's head loop. Small-head
+        # AR decode therefore stays on the composed path on TPU (the
+        # interpret/CPU path serves any 128 % Dh == 0 geometry, which is
+        # what the equivalence tests pin).
         dh = cfg.d_model // cfg.num_heads
-        if dh > 128 or 128 % dh:
+        if dh != 128:
             return False, (
-                f"head_dim={dh} not a divisor of the 128-lane width")
+                f"head_dim={dh} != 128 (Mosaic head-fold needs full-lane "
+                "heads; see fast_decode_support docstring)")
     return True, ""
 
 
@@ -92,6 +100,8 @@ def _decode_ids_from_memory(model, params, memory, B, T,
     K = steps_per_call or min(DEFAULT_STEPS_PER_CALL, T)
     Tp = ((T + K - 1) // K) * K            # chunk-aligned horizon
     Tmax = Tp + Sketchformer.CACHE_PAD     # spare slots (TPU NaN-bug zone)
+    if Tmax > 128:                         # kernel streams 128-row tiles
+        Tmax = ((Tmax + 127) // 128) * 128
     w = stack_decoder_weights(params["decoder"], num_layers=L,
                               compute_dtype=dt)
     ck, cv = precompute_cross_kv(memory, w, num_heads=H,
@@ -193,6 +203,8 @@ def _decode_cont_from_memory_fast(model, params, memory, B, T,
     K = steps_per_call or min(DEFAULT_STEPS_PER_CALL, T)
     Tp = ((T + K - 1) // K) * K
     Tmax = Tp + Sketchformer.CACHE_PAD
+    if Tmax > 128:                         # kernel streams 128-row tiles
+        Tmax = ((Tmax + 127) // 128) * 128
     w = stack_decoder_weights(params["decoder"], num_layers=L,
                               compute_dtype=dt)
     ck, cv = precompute_cross_kv(memory, w, num_heads=H,

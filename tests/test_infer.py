@@ -106,14 +106,8 @@ def test_engine_warn_once_on_declined_fast_decode(caplog):
     h8 = Sketchformer(SketchformerConfig(
         vocab_size=100, num_classes=5, max_len=32, d_model=256,
         num_layers=1, num_heads=8, dff=64, lowerdim=32))
-    ok8, why8 = fast_decode_support(h8, backend="tpu")
-    assert ok8, why8      # reference geometry served (r2 item 1)
-
-    odd = Sketchformer(SketchformerConfig(
-        vocab_size=100, num_classes=5, max_len=32, d_model=192,
-        num_layers=1, num_heads=4, dff=64, lowerdim=32))  # head_dim=48
-    ok, why = fast_decode_support(odd, backend="tpu")
-    assert not ok and "head_dim=48" in why
+    ok, why = fast_decode_support(h8, backend="tpu")
+    assert not ok and "head_dim=32" in why
 
     flagship = Sketchformer(SketchformerConfig(
         vocab_size=100, num_classes=5, max_len=32, d_model=256,
@@ -128,7 +122,7 @@ def test_engine_warn_once_on_declined_fast_decode(caplog):
         engines.note_engine("decode", "fused-step-kernel")
     warns = [r for r in caplog.records if r.levelno >= logging.WARNING]
     assert len(warns) == 1
-    assert "head_dim=48" in warns[0].getMessage()
+    assert "head_dim=32" in warns[0].getMessage()
 
 
 def test_make_token_decoder_notes_engine(caplog):
