@@ -283,8 +283,6 @@ def _loop_kernel(
 
     vlane = jax.lax.broadcasted_iota(jnp.int32, (NB, V), 1)
     kiota = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
-    cpos = jax.lax.broadcasted_iota(jnp.int32, (G, Tmax), 1)
-    chpos = jax.lax.broadcasted_iota(jnp.int32, (G, K), 1)
 
     def fold(pane):                     # (NB, HD) f32 -> (G, Dh)
         return pane.reshape(G, Dh)
