@@ -31,7 +31,11 @@ def _parse_kv(items) -> Dict[str, Any]:
         try:
             out[k] = json.loads(v)
         except json.JSONDecodeError:
-            out[k] = v
+            # Python-style literals: 'token_mode=False' must not silently
+            # become the TRUTHY string "False" (a cont-mode run would get
+            # a token-mode loader and die on a missing enc_mask)
+            lit = {"true": True, "false": False, "none": None}
+            out[k] = lit[v.lower()] if v.lower() in lit else v
     return out
 
 

@@ -343,3 +343,16 @@ def test_run_training_steps_per_call(tmp_path):
     steps = {l["step"] for l in lines}
     assert 8 in steps
     assert any("steps_per_sec" in l for l in lines)
+
+
+def test_cli_parse_kv_python_literals():
+    """'--loader-arg token_mode=False' must parse as bool, not the truthy
+    string 'False' (regression: cont-mode CLI run got a token loader)."""
+    from sketchformer_tpu.cli import _parse_kv
+
+    got = _parse_kv(["token_mode=False", "flag=True", "x=None",
+                     "n=3", "name=raw", "b=[96]"])
+    assert got["token_mode"] is False
+    assert got["flag"] is True
+    assert got["x"] is None
+    assert got["n"] == 3 and got["name"] == "raw" and got["b"] == [96]
