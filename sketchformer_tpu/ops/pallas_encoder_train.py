@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sketchformer_tpu.ops import pallas_dropout as pdrop
+from sketchformer_tpu.ops import pallas_packed as pk
 from sketchformer_tpu.ops.pallas_encoder import (
     LN_EPS,
     NEG_INF,
@@ -107,7 +108,7 @@ def _layer_bwd_kernel(
     dwo_ref, dbo_ref, dln2s_ref, dln2b_ref,
     dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, H, Dh, scale, use_mask, qk_norm, drop_thresh,
-    drop_impl="bits", layer=0,
+    drop_impl="bits", layer=0, packed=False,
 ):
     NB, T, d = x_ref.shape
     dt = x_ref.dtype
@@ -144,9 +145,33 @@ def _layer_bwd_kernel(
     qkv3 = qkv.reshape(NB, T, 3 * HD)
     if use_mask:
         kbias = bias_ref[:]
-    heads = []       # per-head saved (q, k, v, p, [qk-norm residuals])
-    outs = []
-    for hh in range(H):
+    if packed:
+        # hpp = 128//Dh heads per full-lane group pane; qk-norm params
+        # arrive pre-tiled (1, 128) rows (pallas_packed docs)
+        groups = []
+        outs = []
+        for gg in range(HD // 128):
+            q0 = qkv3[:, :, gg * 128:(gg + 1) * 128]
+            k0 = qkv3[:, :, HD + gg * 128:HD + (gg + 1) * 128]
+            v = qkv3[:, :, 2 * HD + gg * 128:2 * HD + (gg + 1) * 128]
+            if qk_norm:
+                q32, qxh, qrs = pk.ln_blocks_fwd32(
+                    q0, qns_ref[0:1, :], qnb_ref[0:1, :], Dh)
+                k32, kxh, krs = pk.ln_blocks_fwd32(
+                    k0, kns_ref[0:1, :], knb_ref[0:1, :], Dh)
+                q, k = q32.astype(dt), k32.astype(dt)
+            else:
+                q, k = q0, k0
+                qxh = qrs = kxh = krs = None
+            o, (kt, vt, p) = pk.group_attn_fwd(
+                q, k, v, dh=Dh, scale=scale, dt=dt,
+                bias=kbias if use_mask else None, save=True)
+            outs.append(o.astype(dt))
+            groups.append((q, kt, vt, p, qxh, qrs, kxh, krs))
+    else:
+        heads = []   # per-head saved (q, k, v, p, [qk-norm residuals])
+        outs = []
+    for hh in range(H if not packed else 0):
         q0 = qkv3[:, :, hh * Dh:(hh + 1) * Dh]
         k0 = qkv3[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
         v = qkv3[:, :, 2 * HD + hh * Dh:2 * HD + (hh + 1) * Dh]
@@ -212,6 +237,42 @@ def _layer_bwd_kernel(
     do3 = do_c.reshape(NB, T, HD)
     dq_parts, dk_parts, dv_parts = [], [], []
     dqns = dqnb = dkns = dknb = None
+    if packed:
+        for gg in range(HD // 128):
+            q, kt, vt, p, qxh, qrs, kxh, krs = groups[gg]
+            do_g = do3[:, :, gg * 128:(gg + 1) * 128]
+            dq, dk, dv = pk.group_attn_bwd(
+                do_g, q, kt, vt, p, dh=Dh, scale=scale, dt=dt)
+            if qk_norm:
+                dq, dqs, dqb = pk.ln_blocks_bwd32(
+                    dq, qxh, qrs, qns_ref[0:1, :], Dh)
+                dk, dks, dkb = pk.ln_blocks_bwd32(
+                    dk, kxh, krs, kns_ref[0:1, :], Dh)
+                dqns = dqs if dqns is None else dqns + dqs
+                dqnb = dqb if dqnb is None else dqnb + dqb
+                dkns = dks if dkns is None else dkns + dks
+                dknb = dkb if dknb is None else dknb + dkb
+            dq_parts.append(dq)
+            dk_parts.append(dk)
+            dv_parts.append(dv)
+        if qk_norm:
+            acc(dqns_ref, dqns)
+            acc(dqnb_ref, dqnb)
+            acc(dkns_ref, dkns)
+            acc(dknb_ref, dknb)
+        else:
+            for ref in (dqns_ref, dqnb_ref, dkns_ref, dknb_ref):
+                acc(ref, jnp.zeros(ref.shape, f32))
+        dqkv = jnp.concatenate(
+            dq_parts + dk_parts + dv_parts, axis=-1).reshape(M, 3 * HD)
+        acc(dwqkv_ref, _mm(h1, dqkv.astype(dt), _TN))
+        acc(dbqkv_ref, jnp.sum(dqkv, axis=0, keepdims=True))
+        dh1 = _mm(dqkv.astype(dt), wqkv_ref[:], _NT)
+        dx_ln, ds1, db1_ = _ln_bwd32(dh1, xhat1, rstd1, ln1s)
+        acc(dln1s_ref, ds1[None, :])
+        acc(dln1b_ref, db1_[None, :])
+        dx_ref[:] = (dx1 + dx_ln).astype(dx_ref.dtype).reshape(NB, T, d)
+        return
     for hh in range(H):
         q, k, v, p, qxhat, qrstd, kxhat, krstd = heads[hh]
         do_h = do3[:, :, hh * Dh:(hh + 1) * Dh].astype(dt)
@@ -288,7 +349,7 @@ def _spec_const(shape):
 
 
 def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
-               drop_thresh, drop_impl="bits", layer=0):
+               drop_thresh, drop_impl="bits", layer=0, packed=False):
     """One layer's backward: returns (dx, dW dict) via one pallas call."""
     B, T, d = x.shape
     dff = wl["w1"].shape[1]
@@ -314,7 +375,7 @@ def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
         functools.partial(
             _layer_bwd_kernel, H=H, Dh=Dh, scale=scale,
             use_mask=use_mask, qk_norm=qk_norm, drop_thresh=drop_thresh,
-            drop_impl=drop_impl, layer=layer),
+            drop_impl=drop_impl, layer=layer, packed=packed),
         grid=(B // NB,),
         in_specs=[spec_x, spec_x, spec_bias, spec_drop] + [
             _spec_const(a.shape) for a in warg],
@@ -343,7 +404,7 @@ def _row(a):
 
 
 def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
-                    drop_thresh, collect, drop_impl="bits"):
+                    drop_thresh, collect, drop_impl="bits", packed=False):
     B, T, d = x.shape
     dff = wlist[_WKEYS.index("w1")].shape[2]
     extra = 0
@@ -385,7 +446,7 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
             _stack_kernel, L=L, H=H, Dh=Dh, scale=1.0 / (Dh ** 0.5),
             use_mask=use_mask, qk_norm=qk_norm, final_ln=False,
             collect_inputs=collect, drop_thresh=drop_thresh,
-            drop_impl=drop_impl),
+            drop_impl=drop_impl, packed=packed),
         grid=(B // NB,),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if collect else out_specs[0],
@@ -399,25 +460,25 @@ def _stack_fwd_call(x, bias, drop, wlist, *, L, H, Dh, use_mask, qk_norm,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _stack_train(x, bias, drop, L, H, Dh, flags, *wlist):
-    use_mask, qk_norm, drop_thresh, drop_impl = flags
+    use_mask, qk_norm, drop_thresh, drop_impl, packed = flags
     y, _ = _stack_fwd_call(x, bias, drop, wlist, L=L, H=H, Dh=Dh,
                            use_mask=use_mask, qk_norm=qk_norm,
                            drop_thresh=drop_thresh, collect=False,
-                           drop_impl=drop_impl)
+                           drop_impl=drop_impl, packed=packed)
     return y
 
 
 def _stack_train_fwd(x, bias, drop, L, H, Dh, flags, *wlist):
-    use_mask, qk_norm, drop_thresh, drop_impl = flags
+    use_mask, qk_norm, drop_thresh, drop_impl, packed = flags
     y, xins = _stack_fwd_call(x, bias, drop, wlist, L=L, H=H, Dh=Dh,
                               use_mask=use_mask, qk_norm=qk_norm,
                               drop_thresh=drop_thresh, collect=True,
-                              drop_impl=drop_impl)
+                              drop_impl=drop_impl, packed=packed)
     return y, (xins, bias, drop, wlist)
 
 
 def _stack_train_bwd(L, H, Dh, flags, res, g):
-    use_mask, qk_norm, drop_thresh, drop_impl = flags
+    use_mask, qk_norm, drop_thresh, drop_impl, packed = flags
     xins, bias, drop, wlist = res
     scale = 1.0 / (Dh ** 0.5)
     dws = []
@@ -430,7 +491,7 @@ def _stack_train_bwd(L, H, Dh, flags, res, g):
         g, dwl = _layer_bwd(xins[i], g, bias, drop_i, wl, H=H, Dh=Dh,
                             scale=scale, use_mask=use_mask,
                             qk_norm=qk_norm, drop_thresh=drop_thresh,
-                            drop_impl=drop_impl, layer=i)
+                            drop_impl=drop_impl, layer=i, packed=packed)
         dws.append(dwl)
     dws = dws[::-1]
     dwlist = []
@@ -490,9 +551,16 @@ def fused_encoder_stack_train(
                                    dtype=jnp.uint8)
     else:
         drop = jnp.zeros((1, 1), jnp.uint8)
+    # small-head geometries run PACKED (hpp=128/Dh heads per lane pane,
+    # pallas_packed.py): qk-norm params tile to 128 lanes OUTSIDE the
+    # custom VJP, so autodiff reduces their grads back to (L, Dh)
+    packed = pk.packed_supported(d, H) and T % 8 == 0
+    if packed:
+        w = {**w, **{k: pk.tile_heads(w[k], 128 // Dh)
+                     for k in ("qns", "qnb", "kns", "knb")}}
     wlist = [w[k] for k in _WKEYS]
     return _stack_train(x, bias, drop, L, H, Dh,
-                        (use_mask, qk_norm, thresh, impl), *wlist)
+                        (use_mask, qk_norm, thresh, impl, packed), *wlist)
 
 
 def apply_final_ln(y: jnp.ndarray, w: dict) -> jnp.ndarray:

@@ -171,3 +171,32 @@ def test_train_stack_matches_inference_kernel():
                                   qk_norm=False), w)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_train_stack_packed_small_heads(qk_norm):
+    """PACKED small-head train path (d=128, H=8 -> Dh=16): values, input
+    grads, and every weight grad — including the qk-norm params whose
+    tiled-lane grads must reduce back to (Dh,) (round-3 packed train)."""
+    from sketchformer_tpu.ops import pallas_packed as pk
+
+    enc, params, x, km = _setup(T=16, d=128, H=8, dff=64, qk_norm=qk_norm)
+    assert pk.packed_supported(128, 8)
+
+    ref_v, ref_g = jax.value_and_grad(
+        lambda p, xx: _loss_ref(enc, p, xx, km), argnums=(0, 1))(params, x)
+    got_v, got_g = jax.value_and_grad(
+        lambda p, xx: _loss_fused(enc, p, xx, km), argnums=(0, 1))(params, x)
+
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               rtol=1e-3, atol=1e-4)
+    got_map = dict(zip([jax.tree_util.keystr(k)
+                        for k, _ in jax.tree_util.tree_leaves_with_path(
+                            got_g[0])],
+                       jax.tree_util.tree_flatten(got_g[0])[0]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref_g[0]):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(got_map[key]), np.asarray(leaf),
+            rtol=1e-3, atol=1e-4, err_msg=key)
