@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sketchformer_tpu.ops import pallas_dropout as pdrop
+from sketchformer_tpu.ops import pallas_packed as pk
 from sketchformer_tpu.ops.pallas_encoder import (
     LN_EPS,
     NEG_INF,
@@ -92,6 +93,7 @@ def _dec_stack_kernel(
     L = kw["L"]; H = kw["H"]; Dh = kw["Dh"]; scale = kw["scale"]
     use_smask = kw["use_smask"]; use_cmask = kw["use_cmask"]
     qk_norm = kw["qk_norm"]
+    packed = kw.get("packed", False)
     final_ln = kw.get("final_ln", True)
     collect = kw.get("collect_inputs", False)
     thresh = kw.get("drop_thresh", 0)
@@ -143,20 +145,39 @@ def _dec_stack_kernel(
         qkv = (_mm(h, swqkv_ref[i], _NN).astype(dt)
                + sbqkv_ref[i:i + 1, :].astype(dt)).reshape(NB, T, 3 * HD)
         outs = []
-        for hh in range(H):
-            q = qkv[:, :, hh * Dh:(hh + 1) * Dh]
-            k = qkv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
-            v = qkv[:, :, 2 * HD + hh * Dh:2 * HD + (hh + 1) * Dh]
-            if qk_norm:
-                q = _ln(q, sqns_ref, sqnb_ref, i, dt)
-                k = _ln(k, skns_ref, sknb_ref, i, dt)
-            s = _mm(q, k, (((2,), (2,)), ((0,), (0,)))) * scale + causal
-            if use_smask:
-                s = s + sbias
-            p = _softmax_rows(s)
-            outs.append(
-                _mm(p.astype(dt), v,
-                    (((2,), (1,)), ((0,), (0,)))).astype(dt))
+        if packed:
+            # hpp = 128//Dh heads per full-lane group pane; qk-norm
+            # params arrive pre-tiled (L, 128) (pallas_packed docs)
+            for gg in range(HD // 128):
+                q = qkv[:, :, gg * 128:(gg + 1) * 128]
+                k = qkv[:, :, HD + gg * 128:HD + (gg + 1) * 128]
+                v = qkv[:, :, 2 * HD + gg * 128:2 * HD + (gg + 1) * 128]
+                if qk_norm:
+                    q = pk.ln_blocks_fwd32(
+                        q, sqns_ref[i:i + 1, :], sqnb_ref[i:i + 1, :],
+                        Dh)[0].astype(dt)
+                    k = pk.ln_blocks_fwd32(
+                        k, skns_ref[i:i + 1, :], sknb_ref[i:i + 1, :],
+                        Dh)[0].astype(dt)
+                o = pk.group_attn_fwd(
+                    q, k, v, dh=Dh, scale=scale, dt=dt,
+                    bias=sbias if use_smask else None, causal=causal)
+                outs.append(o.astype(dt))
+        else:
+            for hh in range(H):
+                q = qkv[:, :, hh * Dh:(hh + 1) * Dh]
+                k = qkv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
+                v = qkv[:, :, 2 * HD + hh * Dh:2 * HD + (hh + 1) * Dh]
+                if qk_norm:
+                    q = _ln(q, sqns_ref, sqnb_ref, i, dt)
+                    k = _ln(k, skns_ref, sknb_ref, i, dt)
+                s = _mm(q, k, (((2,), (2,)), ((0,), (0,)))) * scale + causal
+                if use_smask:
+                    s = s + sbias
+                p = _softmax_rows(s)
+                outs.append(
+                    _mm(p.astype(dt), v,
+                        (((2,), (1,)), ((0,), (0,)))).astype(dt))
         attn = jnp.concatenate(outs, axis=-1).reshape(M, HD)
         attn = (_mm(attn, swo_ref[i], _NN).astype(dt)
                 + sbo_ref[i:i + 1, :].astype(dt))
@@ -168,20 +189,39 @@ def _dec_stack_kernel(
         ckv = (_mm(mem, cwkv_ref[i], _NN).astype(dt)
                + cbkv_ref[i:i + 1, :].astype(dt)).reshape(NB, Mq, 2 * HD)
         outs = []
-        for hh in range(H):
-            q = cq[:, :, hh * Dh:(hh + 1) * Dh]
-            k = ckv[:, :, hh * Dh:(hh + 1) * Dh]
-            v = ckv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
-            if qk_norm:
-                q = _ln(q, cqns_ref, cqnb_ref, i, dt)
-                k = _ln(k, ckns_ref, cknb_ref, i, dt)
-            s = _mm(q, k, (((2,), (2,)), ((0,), (0,)))) * scale
-            if use_cmask:
-                s = s + cbias
-            p = _softmax_rows(s)                      # (NB, T, Mq)
-            outs.append(
-                _mm(p.astype(dt), v,
-                    (((2,), (1,)), ((0,), (0,)))).astype(dt))
+        if packed:
+            mq8 = ((Mq + 7) // 8) * 8    # 8-aligned sublane score chunks
+            for gg in range(HD // 128):
+                q = cq[:, :, gg * 128:(gg + 1) * 128]
+                k = ckv[:, :, gg * 128:(gg + 1) * 128]
+                v = ckv[:, :, HD + gg * 128:HD + (gg + 1) * 128]
+                if qk_norm:
+                    q = pk.ln_blocks_fwd32(
+                        q, cqns_ref[i:i + 1, :], cqnb_ref[i:i + 1, :],
+                        Dh)[0].astype(dt)
+                    k = pk.ln_blocks_fwd32(
+                        k, ckns_ref[i:i + 1, :], cknb_ref[i:i + 1, :],
+                        Dh)[0].astype(dt)
+                kp, vp, bp = pk.pad_kv_rows(
+                    k, v, cbias if use_cmask else None, mq8)
+                o = pk.group_attn_fwd(
+                    q, kp, vp, dh=Dh, scale=scale, dt=dt, bias=bp)
+                outs.append(o.astype(dt))
+        else:
+            for hh in range(H):
+                q = cq[:, :, hh * Dh:(hh + 1) * Dh]
+                k = ckv[:, :, hh * Dh:(hh + 1) * Dh]
+                v = ckv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
+                if qk_norm:
+                    q = _ln(q, cqns_ref, cqnb_ref, i, dt)
+                    k = _ln(k, ckns_ref, cknb_ref, i, dt)
+                s = _mm(q, k, (((2,), (2,)), ((0,), (0,)))) * scale
+                if use_cmask:
+                    s = s + cbias
+                p = _softmax_rows(s)                  # (NB, T, Mq)
+                outs.append(
+                    _mm(p.astype(dt), v,
+                        (((2,), (1,)), ((0,), (0,)))).astype(dt))
         cattn = jnp.concatenate(outs, axis=-1).reshape(M, HD)
         cattn = (_mm(cattn, cwo_ref[i], _NN).astype(dt)
                  + cbo_ref[i:i + 1, :].astype(dt))
@@ -214,7 +254,7 @@ def _dec_layer_bwd_kernel(
     dcqns_ref, dcqnb_ref, dckns_ref, dcknb_ref, dcwo_ref, dcbo_ref,
     dln3s_ref, dln3b_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
     *, H, Dh, scale, use_smask, use_cmask, qk_norm, drop_thresh,
-    drop_impl="bits", layer=0,
+    drop_impl="bits", layer=0, packed=False,
 ):
     NB, T, d = x_ref.shape
     Mq = mem_ref.shape[1]
@@ -253,7 +293,27 @@ def _dec_layer_bwd_kernel(
     qkv = (_mm(h1, swqkv_ref[:], _NN).astype(dt)
            + sbqkv_ref[0:1, :].astype(dt)).reshape(NB, T, 3 * HD)
     sheads, souts = [], []
-    for hh in range(H):
+    if packed:
+        for gg in range(HD // 128):
+            q0 = qkv[:, :, gg * 128:(gg + 1) * 128]
+            k0 = qkv[:, :, HD + gg * 128:HD + (gg + 1) * 128]
+            v = qkv[:, :, 2 * HD + gg * 128:2 * HD + (gg + 1) * 128]
+            if qk_norm:
+                q32, qxh, qrs = pk.ln_blocks_fwd32(
+                    q0, sqns_ref[0:1, :], sqnb_ref[0:1, :], Dh)
+                k32, kxh, krs = pk.ln_blocks_fwd32(
+                    k0, skns_ref[0:1, :], sknb_ref[0:1, :], Dh)
+                q, k = q32.astype(dt), k32.astype(dt)
+            else:
+                q, k = q0, k0
+                qxh = qrs = kxh = krs = None
+            o, (kt, vt, p) = pk.group_attn_fwd(
+                q, k, v, dh=Dh, scale=scale, dt=dt,
+                bias=sbias_ref[:] if use_smask else None,
+                causal=causal, save=True)
+            souts.append(o.astype(dt))
+            sheads.append((q, kt, vt, p, qxh, qrs, kxh, krs))
+    for hh in range(H if not packed else 0):
         q0 = qkv[:, :, hh * Dh:(hh + 1) * Dh]
         k0 = qkv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
         v = qkv[:, :, 2 * HD + hh * Dh:2 * HD + (hh + 1) * Dh]
@@ -287,7 +347,28 @@ def _dec_layer_bwd_kernel(
     ckv = (_mm(mem, cwkv_ref[:], _NN).astype(dt)
            + cbkv_ref[0:1, :].astype(dt)).reshape(NB, Mq, 2 * HD)
     cheads, couts = [], []
-    for hh in range(H):
+    if packed:
+        mq8 = ((Mq + 7) // 8) * 8
+        for gg in range(HD // 128):
+            q0 = cq[:, :, gg * 128:(gg + 1) * 128]
+            k0 = ckv[:, :, gg * 128:(gg + 1) * 128]
+            v = ckv[:, :, HD + gg * 128:HD + (gg + 1) * 128]
+            if qk_norm:
+                q32, qxh, qrs = pk.ln_blocks_fwd32(
+                    q0, cqns_ref[0:1, :], cqnb_ref[0:1, :], Dh)
+                k32, kxh, krs = pk.ln_blocks_fwd32(
+                    k0, ckns_ref[0:1, :], cknb_ref[0:1, :], Dh)
+                q, k = q32.astype(dt), k32.astype(dt)
+            else:
+                q, k = q0, k0
+                qxh = qrs = kxh = krs = None
+            kp, vp, bp = pk.pad_kv_rows(
+                k, v, cbias_ref[:] if use_cmask else None, mq8)
+            o, (kt, vt, p) = pk.group_attn_fwd(
+                q, kp, vp, dh=Dh, scale=scale, dt=dt, bias=bp, save=True)
+            couts.append(o.astype(dt))
+            cheads.append((q, kt, vt, p, qxh, qrs, kxh, krs))
+    for hh in range(H if not packed else 0):
         q0 = cq[:, :, hh * Dh:(hh + 1) * Dh]
         k0 = ckv[:, :, hh * Dh:(hh + 1) * Dh]
         v = ckv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
@@ -342,7 +423,31 @@ def _dec_layer_bwd_kernel(
     do3 = _mm(dcatt.astype(dt), cwo_ref[:], _NT).reshape(NB, T, HD)
     dcq_parts, dckv_parts = [], []
     dcqns = dcqnb = dckns = dcknb = None
-    for hh in range(H):
+    if packed:
+        mq8 = ((Mq + 7) // 8) * 8
+        for gg in range(HD // 128):
+            q, kt, vt, p, qxh, qrs, kxh, krs = cheads[gg]
+            do_g = do3[:, :, gg * 128:(gg + 1) * 128]
+            dq, dk, dv = pk.group_attn_bwd(
+                do_g, q, kt, vt, p, dh=Dh, scale=scale, dt=dt)
+            dk = dk[:, :Mq, :]           # drop cross-memory pad rows
+            dv = dv[:, :Mq, :]
+            if qk_norm:
+                dq, a, b = pk.ln_blocks_bwd32(
+                    dq, qxh, qrs, cqns_ref[0:1, :], Dh)
+                a, b = a[0], b[0]
+                dcqns = a if dcqns is None else dcqns + a
+                dcqnb = b if dcqnb is None else dcqnb + b
+                # kxh/krs were computed on the UNPADDED (NB, Mq, 128)
+                # panes (qk-norm runs before pad_kv_rows)
+                dk, a, b = pk.ln_blocks_bwd32(
+                    dk, kxh, krs, ckns_ref[0:1, :], Dh)
+                a, b = a[0], b[0]
+                dckns = a if dckns is None else dckns + a
+                dcknb = b if dcknb is None else dcknb + b
+            dcq_parts.append(dq)
+            dckv_parts.append((dk, dv))
+    for hh in range(H if not packed else 0):
         q, k, v, p, qxh, qrs, kxh, krs = cheads[hh]
         do_h = do3[:, :, hh * Dh:(hh + 1) * Dh].astype(dt)
         dv = _mm(p.astype(dt), do_h, (((1,), (1,)), ((0,), (0,))))
@@ -366,11 +471,10 @@ def _dec_layer_bwd_kernel(
         acc(dckns_ref, dckns[None, :])
         acc(dcknb_ref, dcknb[None, :])
     else:
-        z = jnp.zeros((1, Dh), f32)
-        acc(dcqns_ref, z)
-        acc(dcqnb_ref, z)
-        acc(dckns_ref, z)
-        acc(dcknb_ref, z)
+        acc(dcqns_ref, jnp.zeros(dcqns_ref.shape, f32))
+        acc(dcqnb_ref, jnp.zeros(dcqnb_ref.shape, f32))
+        acc(dckns_ref, jnp.zeros(dckns_ref.shape, f32))
+        acc(dcknb_ref, jnp.zeros(dcknb_ref.shape, f32))
     dcq = jnp.concatenate(dcq_parts, axis=-1).reshape(M, HD)
     dckv = jnp.concatenate(
         [d for d, _ in dckv_parts] + [d for _, d in dckv_parts],
@@ -394,7 +498,27 @@ def _dec_layer_bwd_kernel(
     do3 = _mm(dsatt.astype(dt), swo_ref[:], _NT).reshape(NB, T, HD)
     dq_parts, dk_parts, dv_parts = [], [], []
     dsqns = dsqnb = dskns = dsknb = None
-    for hh in range(H):
+    if packed:
+        for gg in range(HD // 128):
+            q, kt, vt, p, qxh, qrs, kxh, krs = sheads[gg]
+            do_g = do3[:, :, gg * 128:(gg + 1) * 128]
+            dq, dk, dv = pk.group_attn_bwd(
+                do_g, q, kt, vt, p, dh=Dh, scale=scale, dt=dt)
+            if qk_norm:
+                dq, a, b = pk.ln_blocks_bwd32(
+                    dq, qxh, qrs, sqns_ref[0:1, :], Dh)
+                a, b = a[0], b[0]
+                dsqns = a if dsqns is None else dsqns + a
+                dsqnb = b if dsqnb is None else dsqnb + b
+                dk, a, b = pk.ln_blocks_bwd32(
+                    dk, kxh, krs, skns_ref[0:1, :], Dh)
+                a, b = a[0], b[0]
+                dskns = a if dskns is None else dskns + a
+                dsknb = b if dsknb is None else dsknb + b
+            dq_parts.append(dq)
+            dk_parts.append(dk)
+            dv_parts.append(dv)
+    for hh in range(H if not packed else 0):
         q, k, v, p, qxh, qrs, kxh, krs = sheads[hh]
         do_h = do3[:, :, hh * Dh:(hh + 1) * Dh].astype(dt)
         dv = _mm(p.astype(dt), do_h, (((1,), (1,)), ((0,), (0,))))
@@ -419,11 +543,10 @@ def _dec_layer_bwd_kernel(
         acc(dskns_ref, dskns[None, :])
         acc(dsknb_ref, dsknb[None, :])
     else:
-        z = jnp.zeros((1, Dh), f32)
-        acc(dsqns_ref, z)
-        acc(dsqnb_ref, z)
-        acc(dskns_ref, z)
-        acc(dsknb_ref, z)
+        acc(dsqns_ref, jnp.zeros(dsqns_ref.shape, f32))
+        acc(dsqnb_ref, jnp.zeros(dsqnb_ref.shape, f32))
+        acc(dskns_ref, jnp.zeros(dskns_ref.shape, f32))
+        acc(dsknb_ref, jnp.zeros(dsknb_ref.shape, f32))
     dqkv = jnp.concatenate(
         dq_parts + dk_parts + dv_parts, axis=-1).reshape(M, 3 * HD)
     acc(dswqkv_ref, _mm(h1, dqkv.astype(dt), _TN))
@@ -489,7 +612,7 @@ def _biases(self_key_mask, cross_key_mask):
 
 def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
                   use_smask, use_cmask, qk_norm, drop_thresh, final_ln,
-                  collect, drop_impl="bits"):
+                  collect, drop_impl="bits", packed=False):
     B, T, d = x.shape
     Mq = mem.shape[1]
     dff = wlist[_DWKEYS.index("w1")].shape[2]
@@ -534,7 +657,7 @@ def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
             _dec_stack_kernel, L=L, H=H, Dh=Dh, scale=1.0 / (Dh ** 0.5),
             use_smask=use_smask, use_cmask=use_cmask, qk_norm=qk_norm,
             final_ln=final_ln, collect_inputs=collect,
-            drop_thresh=drop_thresh, drop_impl=drop_impl),
+            drop_thresh=drop_thresh, drop_impl=drop_impl, packed=packed),
         grid=(B // NB,),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if collect else out_specs[0],
@@ -548,7 +671,7 @@ def _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, *, L, H, Dh,
 
 def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
                    use_smask, use_cmask, qk_norm, drop_thresh,
-                   drop_impl="bits", layer=0):
+                   drop_impl="bits", layer=0, packed=False):
     B, T, d = x.shape
     Mq = mem.shape[1]
     dff = wl["w1"].shape[1]
@@ -579,7 +702,8 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
         functools.partial(
             _dec_layer_bwd_kernel, H=H, Dh=Dh, scale=scale,
             use_smask=use_smask, use_cmask=use_cmask, qk_norm=qk_norm,
-            drop_thresh=drop_thresh, drop_impl=drop_impl, layer=layer),
+            drop_thresh=drop_thresh, drop_impl=drop_impl, layer=layer,
+            packed=packed),
         grid=(B // NB,),
         in_specs=[spec_x, spec_mem, spec_x, spec_sb, spec_cb, spec_drop]
         + [_spec_const(a.shape) for a in warg],
@@ -595,28 +719,29 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _dec_stack_train(x, mem, sbias, cbias, L, H, Dh, flags, drop, *wlist):
-    use_smask, use_cmask, qk_norm, thresh, drop_impl = flags
+    use_smask, use_cmask, qk_norm, thresh, drop_impl, packed = flags
     y, _ = _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, L=L, H=H,
                          Dh=Dh, use_smask=use_smask, use_cmask=use_cmask,
                          qk_norm=qk_norm, drop_thresh=thresh,
                          final_ln=False, collect=False,
-                         drop_impl=drop_impl)
+                         drop_impl=drop_impl, packed=packed)
     return y
 
 
 def _dec_stack_train_fwd(x, mem, sbias, cbias, L, H, Dh, flags, drop,
                          *wlist):
-    use_smask, use_cmask, qk_norm, thresh, drop_impl = flags
+    use_smask, use_cmask, qk_norm, thresh, drop_impl, packed = flags
     y, xins = _dec_fwd_call(x, mem, sbias, cbias, drop, wlist, L=L, H=H,
                             Dh=Dh, use_smask=use_smask,
                             use_cmask=use_cmask, qk_norm=qk_norm,
                             drop_thresh=thresh, final_ln=False,
-                            collect=True, drop_impl=drop_impl)
+                            collect=True, drop_impl=drop_impl,
+                            packed=packed)
     return y, (xins, mem, sbias, cbias, drop, wlist)
 
 
 def _dec_stack_train_bwd(L, H, Dh, flags, res, g):
-    use_smask, use_cmask, qk_norm, thresh, drop_impl = flags
+    use_smask, use_cmask, qk_norm, thresh, drop_impl, packed = flags
     xins, mem, sbias, cbias, drop, wlist = res
     scale = 1.0 / (Dh ** 0.5)
     dws = []
@@ -631,7 +756,7 @@ def _dec_stack_train_bwd(L, H, Dh, flags, res, g):
             xins[i], mem, g, sbias, cbias, drop_i, wl, H=H, Dh=Dh,
             scale=scale, use_smask=use_smask, use_cmask=use_cmask,
             qk_norm=qk_norm, drop_thresh=thresh, drop_impl=drop_impl,
-            layer=i)
+            layer=i, packed=packed)
         dmem_total = dmem if dmem_total is None else dmem_total + dmem
         dws.append(dwl)
     dws = dws[::-1]
@@ -682,9 +807,17 @@ def fused_decoder_stack_train(
                                    dtype=jnp.uint8)
     else:
         drop = jnp.zeros((1, 1), jnp.uint8)
+    # small-head geometries run PACKED (pallas_packed.py); qk-norm
+    # params tile to 128 lanes OUTSIDE the custom VJP so autodiff
+    # reduces their grads back to (L, Dh)
+    packed = pk.packed_supported(d, H) and T % 8 == 0
+    if packed:
+        w = {**w, **{k: pk.tile_heads(w[k], 128 // Dh)
+                     for k in ("s_qns", "s_qnb", "s_kns", "s_knb",
+                               "c_qns", "c_qnb", "c_kns", "c_knb")}}
     wlist = [w[k] for k in _DWKEYS]
     flags = (self_key_mask is not None, cross_key_mask is not None,
-             qk_norm, thresh, impl)
+             qk_norm, thresh, impl, packed)
     return _dec_stack_train(x, memory, sbias, cbias, L, H, Dh, flags,
                             drop, *wlist)
 
@@ -706,12 +839,17 @@ def fused_decoder_stack(
     Dh = d // H
     sbias, cbias = _biases(self_key_mask, cross_key_mask)
     drop = jnp.zeros((1, 1), jnp.uint8)
+    packed = pk.packed_supported(d, H) and T % 8 == 0
+    if packed:
+        w = {**w, **{k: pk.tile_heads(w[k], 128 // Dh)
+                     for k in ("s_qns", "s_qnb", "s_kns", "s_knb",
+                               "c_qns", "c_qnb", "c_kns", "c_knb")}}
     wlist = [w[k] for k in _DWKEYS] + [w["lnfs"], w["lnfb"]]
     y, _ = _dec_fwd_call(
         x, memory, sbias, cbias, drop, wlist, L=L, H=H, Dh=Dh,
         use_smask=self_key_mask is not None,
         use_cmask=cross_key_mask is not None, qk_norm=qk_norm,
-        drop_thresh=0, final_ln=True, collect=False)
+        drop_thresh=0, final_ln=True, collect=False, packed=packed)
     return y
 
 

@@ -119,3 +119,36 @@ def test_dec_fused_via_module():
                       self_key_mask=km)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_dec_train_stack_packed_small_heads(qk_norm):
+    """PACKED small-head decoder train path (d=128, H=8 -> Dh=16): values,
+    x/memory grads, and every weight grad — incl. tiled qk-norm params
+    and cross-memory pad-row handling (Mq=4, padded to 8 in-kernel)."""
+    from sketchformer_tpu.ops import pallas_packed as pk
+
+    dec, params, x, mem, km, ckm = _setup(
+        qk_norm=qk_norm, T=16, d=128, H=8, dff=64, Mq=4,
+        cross_masked=True)
+    assert pk.packed_supported(128, 8)
+
+    ref_v, ref_g = jax.value_and_grad(
+        lambda p, xx, mm: _loss_ref(dec, p, xx, mm, km, ckm),
+        argnums=(0, 1, 2))(params, x, mem)
+    got_v, got_g = jax.value_and_grad(
+        lambda p, xx, mm: _loss_fused(dec, p, xx, mm, km, ckm),
+        argnums=(0, 1, 2))(params, x, mem)
+
+    np.testing.assert_allclose(float(got_v), float(ref_v), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[1]), np.asarray(ref_g[1]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_g[2]), np.asarray(ref_g[2]),
+                               rtol=1e-3, atol=1e-4)
+    got_map = {jax.tree_util.keystr(k): v for k, v in
+               jax.tree_util.tree_leaves_with_path(got_g[0])}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ref_g[0]):
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(got_map[key]), np.asarray(leaf),
+            rtol=1e-3, atol=1e-4, err_msg=key)
