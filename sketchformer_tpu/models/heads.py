@@ -30,20 +30,40 @@ class TokenHead(nn.Module):
 
     def fused_ce(self, x: jnp.ndarray, targets: jnp.ndarray,
                  pad_id: int = 0, target_chunk: int = 16,
-                 row_weights: jnp.ndarray = None):
+                 row_weights: jnp.ndarray = None, impl: str = "xla"):
         """Masked-mean CE + accuracy WITHOUT materializing the full
         (B, T, vocab) f32 logits tensor.
 
         The vocab-10k head is HBM-bound, not compute-bound: full f32
         logits are ~2 GB at B=512/T=96 and round-trip HBM ~5x through
-        fwd/loss/argmax/bwd (~12 ms/step measured on v5e). Here the time
-        axis is processed in rematerialized chunks — each chunk's logits
-        live only inside its (checkpointed) segment, and the backward
-        recomputes them chunk-by-chunk. Matches
-        train.loss.token_reconstruction_loss numerically (pinned by
-        tests/test_train.py::test_fused_ce_matches_plain).
+        fwd/loss/argmax/bwd (~12 ms/step measured on v5e).
+
+        ``impl='xla'``: the time axis is processed in rematerialized
+        chunks — each chunk's logits live only inside its (checkpointed)
+        segment, and the backward recomputes them chunk-by-chunk. The
+        chunk logits still round-trip HBM (measured 13 ms fwd+bwd).
+
+        ``impl='pallas'``: ops/pallas_ce.py — logits tiles reduce to
+        per-row (ll, correct) inside VMEM; fwd+bwd touches HBM only for
+        the operands. Both match train.loss.token_reconstruction_loss
+        (tests/test_train.py::test_fused_ce_matches_plain,
+        tests/test_pallas_ce.py).
         """
         B, T, _ = x.shape
+        if impl == "pallas":
+            from sketchformer_tpu.ops import pallas_ce
+
+            pvars = self.proj.variables["params"]
+            d = x.shape[-1]
+            ll, corr = pallas_ce.token_ce_rows(
+                x.reshape(B * T, d), pvars["kernel"], pvars["bias"],
+                targets.reshape(B * T))
+            m = (targets != pad_id).astype(jnp.float32)
+            if row_weights is not None:
+                m = m * row_weights[:, None]
+            mf = m.reshape(B * T)
+            denom = jnp.maximum(mf.sum(), 1.0)
+            return -(ll * mf).sum() / denom, (corr * mf).sum() / denom
         chunk = min(target_chunk, T)
         while T % chunk:
             chunk -= 1

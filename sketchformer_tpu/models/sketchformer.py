@@ -194,7 +194,8 @@ class Sketchformer(nn.Module):
         z, dec_out = self._trunk(
             enc, dec_in, enc_mask, dec_key_mask, deterministic)
         recon_loss, recon_acc = self.out_head.fused_ce(
-            dec_out, dec_tgt, pad_id=pad_id, row_weights=row_weights)
+            dec_out, dec_tgt, pad_id=pad_id, row_weights=row_weights,
+            impl="pallas" if self.config.attn_impl == "pallas" else "xla")
         return {
             "recon_loss": recon_loss,
             "recon_acc": recon_acc,
