@@ -320,11 +320,15 @@ def _loop_kernel(
                           qk_norm=qk_norm, dt=dt)
         # ---- vocab head + argmax + EOS bookkeeping ----------------------
         # the bf16 round after the dot replicates the XLA serving path
-        # ((h @ hw).astype(f32) + hb) so exact-id equivalence holds
+        # ((h @ hw).astype(f32) + hb) so exact-id equivalence holds.
+        # PAD/SOS masking arrives FOLDED into hb (wrapper adds NEG_INF to
+        # those bias lanes): a masked lane reads logit-1e9 instead of the
+        # composed path's exact -1e9, which cannot change the argmax —
+        # this deletes a measured (NB, V)-wide compare+select pass per
+        # step (the V-wide passes, not the V-wide matmuls, are the token
+        # tail's cost; tools/probe_decode_parts.py).
         logits = _mm(h, hw_ref[:]).astype(dt).astype(f32) \
             + hb_ref[0:1, :]                             # (NB, V) f32
-        logits = jnp.where((vlane == pad_id) | (vlane == sos_id),
-                           NEG_INF, logits)
         mx = jnp.max(logits, axis=1, keepdims=True)
         nxt = jnp.min(jnp.where(logits >= mx, vlane, V),
                       axis=1, keepdims=True)             # (NB, 1) i32
@@ -419,7 +423,11 @@ def fused_decode_chunk(
                             memory_space=pltpu.VMEM)
 
     wargs = [w[k] for k in _LOOP_WKEYS]
-    consts = [emb, pos_chunk, head_w, head_b.reshape(1, -1)]
+    # fold the PAD/SOS logit mask into the head bias (see _loop_kernel)
+    lane = jnp.arange(V)
+    hb_masked = jnp.where((lane == pad_id) | (lane == sos_id),
+                          head_b + NEG_INF, head_b)
+    consts = [emb, pos_chunk, head_w, hb_masked.reshape(1, -1)]
     scratch = [
         pltpu.VMEM((2, NB * H, Tmax, Dh), k_cache.dtype),
         pltpu.VMEM((2, NB * H, Tmax, Dh), v_cache.dtype),
