@@ -61,16 +61,17 @@ NEG_INF = -1e9
 # VMEM pressure on the kn/vn chunk blocks).
 DEFAULT_STEPS_PER_CALL = 16
 
-# Per-cell VMEM budget for the streamed k/v cache blocks; resident
-# weights (emb + head + trunk + cross KV, ~15 MB flagship) and the
-# logits/one-hot panes live on top, under the 100 MB scoped limit.
-# Measured on v5e (B=64/T=192 flagship): the decode wall is the SERIAL
-# per-grid-cell step compute (dozens of small dots per step), not HBM.
-# Fewer cells would need bigger cache blocks, but Mosaic double-buffers
-# per-cell input blocks: NB=32 demands 134 MB > the 128 MB VMEM. 26 MB
-# (NB=16, 4 cells at B=64) is the largest working point; the next step
-# is HBM-resident caches with manual per-layer DMA streaming.
-CACHE_VMEM_BUDGET = 26 * 1024 * 1024
+# VMEM budget for the double-buffered k/v STREAM buffers (2 slots x
+# k+v x (NB*H, Tmax, 128-lane) — the caches themselves stay in HBM);
+# resident weights (emb + head + trunk + cross KV, ~15 MB flagship) and
+# the logits/one-hot panes live on top, under the 100 MB scoped limit.
+# 56 MB lets the flagship B=64/Tmax=256 run as ONE grid cell (NB=64)
+# and B=512 as 8; measured interleaved A/B vs the old 26 MB (2 cells
+# at B=64): p50 64.5-67.4 vs 65.7-68.6 ms, B=512 1715-1744 vs
+# 1637-1668 sk/s, ids identical (tools/probe_decode_cells.py). Cells
+# run serially on the one TensorCore, but halving them only bought ~3%
+# — the floor is per-step serial op latency, not cell count.
+CACHE_VMEM_BUDGET = 56 * 1024 * 1024
 
 
 def _use_interpret() -> bool:

@@ -102,8 +102,6 @@ def main(which):
               flush=True)
 
     if "ce" in which:
-        from sketchformer_tpu.models.sketchformer import Sketchformer as SK
-
         tgt = jnp.asarray(np.random.default_rng(2).integers(
             1, V, (B, T)).astype(np.int32))
 
@@ -112,18 +110,20 @@ def main(which):
         head = TokenHead(V, jnp.bfloat16)
         hp = {"params": params["out_head"]}
 
-        def ce(x):
-            loss, _acc = head.apply(hp, x, tgt, method=TokenHead.fused_ce)
-            return loss
+        for impl in ("xla", "pallas"):
+            def ce(x, impl=impl):
+                loss, _acc = head.apply(hp, x, tgt, impl=impl,
+                                        method=TokenHead.fused_ce)
+                return loss
 
-        def ce_gn(x):
-            g = jax.grad(ce)(x)
-            return (g.astype(jnp.float32) ** 2).sum()
+            def ce_gn(x, ce=ce):
+                g = jax.grad(ce)(x)
+                return (g.astype(jnp.float32) ** 2).sum()
 
-        print(f"ce fwd       : {timeit(jax.jit(ce), x):6.2f} ms",
-              flush=True)
-        print(f"ce fwd+bwd   : {timeit(jax.jit(ce_gn), x):6.2f} ms",
-              flush=True)
+            print(f"ce[{impl:6s}] fwd    : {timeit(jax.jit(ce), x):6.2f} ms",
+                  flush=True)
+            print(f"ce[{impl:6s}] fwd+bwd: {timeit(jax.jit(ce_gn), x):6.2f} ms",
+                  flush=True)
 
 
 if __name__ == "__main__":
