@@ -28,10 +28,16 @@ matmuls, with online-softmax accumulation across tiles.
 
 Measured v5e B=64/T=192 flagship trajectory: 420 us/step (round-2
 per-step kernel + XLA tail) -> 370 (VMEM-blocked chunk kernel) -> 316
-(HBM-streamed + valid-tile flash). The remaining floor is SERIAL per-op
-overhead — ~120 small vector/matrix ops per step across 8 layers — not
-data movement (p50 is invariant to vocab width and nearly invariant to
-decoded length). B=512 throughput: 1,243 -> 1,749 sk/s.
+(HBM-streamed + valid-tile flash) -> ~310 (one grid cell at B=64). The
+remaining wall splits ~60/40 between serial per-op overhead (~230
+us/step with copies disabled) and the per-step cache re-stream — and
+BOTH suppression levers measure WORSE end-to-end: deeper DMA pipelines
+(3/4 slots) win nothing (the stream is DMA-engine-bound, not
+lookahead-bound), and holding prefix tile 0 VMEM-resident across the
+chunk (16x fewer DMA bytes) loses ~4.5 ms to VMEM-pressure scheduling
+— confirmed twice, independently, on different designs. Full data and
+methodology: docs/PERF_DECODE.md, tools/probe_decode_parts.py,
+tools/probe_decode_cells.py. B=512 throughput: 1,243 -> 1,870 sk/s.
 
 Head geometry: the folded (row = b*H + h) cache protocol serves ANY
 head_dim with 128 % Dh == 0 — small heads (the reference's H=8/Dh=32,
