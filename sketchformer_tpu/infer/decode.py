@@ -92,7 +92,9 @@ def make_token_decoder(
 
         ok, why = fast_decode_support(model)
         if ok:
-            note_engine("decode", "fused-chunk-kernel")
+            packed = cfg.d_model // cfg.num_heads != 128
+            note_engine("decode", "fused-chunk-kernel-packed" if packed
+                        else "fused-chunk-kernel")
             return make_fast_token_decoder(model, max_len=T)
         note_engine("decode", "composed", why)
 

@@ -11,9 +11,12 @@ logits masked, EOS finishes a row, finished rows emit PAD, while_loop
 early exit at chunk granularity) — pinned by tests/test_fast_decode.py.
 
 Supported: token mode, pre-LN, attn/mean bottleneck (fixed-size memory),
-any head_dim with 128 % head_dim == 0 (the reference H=8/Dh=32 geometry
-included). ``make_fast_token_decoder`` falls back to the composed decoder
-otherwise.
+ANY head geometry with d_model % num_heads == 0: full-lane heads
+(Dh == 128) run the row-folded kernel; smaller heads — including the
+reference H=8/Dh=32 geometry (SURVEY.md §2) — run the lane-PACKED kernel
+(ops/pallas_decode_packed.py), on TPU and interpret alike. The MDN chunk
+engine has no packed variant yet and declines small heads on TPU.
+``make_fast_token_decoder`` falls back to the composed decoder otherwise.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def fast_cont_decode_support(model: Sketchformer, backend: str = None,
         return False, "token mode (use fast_decode_support)"
     if not greedy:
         return False, "temperature sampling (greedy only in-kernel)"
-    ok, why = _structural_support(cfg, backend)
+    ok, why = _structural_support(cfg, backend, packed_ok=False)
     return ok, why
 
 
@@ -58,31 +61,26 @@ def fast_decode_support(model: Sketchformer, backend: str = None):
     return _structural_support(cfg, backend)
 
 
-def _structural_support(cfg, backend=None):
+def _structural_support(cfg, backend=None, packed_ok=True):
     if not cfg.norm_first:
         return False, "post-LN config"
     if cfg.bottleneck_mode not in ("attn", "mean"):
         return False, f"bottleneck_mode={cfg.bottleneck_mode!r}"
     if cfg.d_model % cfg.num_heads:
         return False, "d_model not divisible by num_heads"
-    backend = backend or jax.default_backend()
-    if backend == "tpu":
-        # the chunked kernel's head fold is a (NB, H*Dh) -> (NB*H, Dh)
-        # minor-dim reshape — Mosaic rejects it below full lane width
-        # ("infer-vector-layout: unsupported shape cast" at Dh=32, v5e).
-        # Packing hpp=128/Dh heads per lane pane would compile but cannot
-        # win: the measured decode floor is SERIAL op count (~120 small
-        # ops/step, invariant to vocab and decoded length), and packed
-        # attention still issues hpp*Hg = H per-head score/ctx op chains
-        # — same count as the composed fallback's head loop. Small-head
-        # AR decode therefore stays on the composed path on TPU (the
-        # interpret/CPU path serves any 128 % Dh == 0 geometry, which is
-        # what the equivalence tests pin).
+    if not packed_ok:
+        # the folded chunk kernel's head fold is a (NB, H*Dh) ->
+        # (NB*H, Dh) minor-dim reshape — Mosaic rejects it below full
+        # lane width ("infer-vector-layout: unsupported shape cast" at
+        # Dh=32, v5e). Token mode routes small heads to the lane-PACKED
+        # kernel (ops/pallas_decode_packed.py) instead; engines without
+        # a packed variant (the MDN chunk kernel) decline on TPU.
+        backend = backend or jax.default_backend()
         dh = cfg.d_model // cfg.num_heads
-        if dh != 128:
+        if backend == "tpu" and dh != 128:
             return False, (
                 f"head_dim={dh} != 128 (Mosaic head-fold needs full-lane "
-                "heads; see fast_decode_support docstring)")
+                "heads and this engine has no packed variant)")
     return True, ""
 
 
@@ -104,15 +102,33 @@ def _decode_ids_from_memory(model, params, memory, B, T,
         Tmax = ((Tmax + 127) // 128) * 128
     w = stack_decoder_weights(params["decoder"], num_layers=L,
                               compute_dtype=dt)
-    ck, cv = precompute_cross_kv(memory, w, num_heads=H,
-                                 qk_norm=cfg.qk_norm)
+    # small heads (Dh < 128) use the lane-PACKED kernel — heads stay
+    # interleaved in lanes, caches are (L, B, Tmax, d); full-lane heads
+    # use the row-folded kernel with (L, B*H, Tmax, Dh) caches
+    packed = Dh != 128
+    if packed:
+        from sketchformer_tpu.ops.pallas_decode_packed import (
+            fused_decode_chunk_packed,
+            precompute_cross_kv_packed,
+            stack_packed_qk_norms,
+        )
+
+        w = stack_packed_qk_norms(w, H)
+        ck, cv = precompute_cross_kv_packed(memory, w, num_heads=H,
+                                            qk_norm=cfg.qk_norm)
+        kc0 = jnp.zeros((L, B, Tmax, d), dt)
+        chunk_fn = fused_decode_chunk_packed
+    else:
+        ck, cv = precompute_cross_kv(memory, w, num_heads=H,
+                                     qk_norm=cfg.qk_norm)
+        kc0 = jnp.zeros((L, B * H, Tmax, Dh), dt)
+        chunk_fn = fused_decode_chunk
     emb = params["dec_embed"]["embed"]["embedding"].astype(dt)
     pos_table = jnp.asarray(
         sinusoidal_position_encoding(max(cfg.max_len, Tp), d), dt)
     hw = params["out_head"]["proj"]["kernel"].astype(dt)
     hb = params["out_head"]["proj"]["bias"].astype(jnp.float32)
 
-    kc0 = jnp.zeros((L, B * H, Tmax, Dh), dt)
     vc0 = jnp.zeros_like(kc0)
     prev0 = jnp.full((B, 1), SOS_ID, jnp.int32)
     fin0 = jnp.zeros((B, 1), jnp.int32)
@@ -126,7 +142,7 @@ def _decode_ids_from_memory(model, params, memory, B, T,
     def body(carry):
         kc, vc, prev, finished, t, out = carry
         pos_chunk = jax.lax.dynamic_slice(pos_table, (t, 0), (K, d))
-        ids, finished, kn, vn = fused_decode_chunk(
+        ids, finished, kn, vn = chunk_fn(
             prev, finished, kc, vc, ck, cv, emb, pos_chunk, hw, hb, w, t,
             num_heads=H, qk_norm=cfg.qk_norm,
             pad_id=PAD_ID, sos_id=SOS_ID, eos_id=EOS_ID)

@@ -69,18 +69,22 @@ def test_fast_decode_flagship_geometry():
 
 def test_fast_decode_reference_head_geometry():
     """The reference's small-head shape family (head_dim=32, SURVEY §2):
-    the chunked loop kernel decodes it exactly (interpret path). On real
-    TPU the engine declines it WITH a reason — Mosaic rejects sub-lane
-    head folds and packed attention cannot beat the measured serial-op
-    floor (see fast_decode_support) — so the gate must carry the message
-    rather than fall back silently."""
+    served by the lane-PACKED chunk kernel (ops/pallas_decode_packed.py)
+    on TPU and interpret alike — round 3.3 lifted the TPU decline (the
+    folded kernel's sub-lane head fold is what Mosaic rejects; packing
+    heads into lanes with indicator-matmul segment reductions keeps the
+    per-step op count constant in H). Exact ids vs the composed oracle."""
     model, params, enc = _tok_model(
         seed=4, d_model=256, num_heads=8, dff=512, num_layers=2,
         lowerdim=64)
     from sketchformer_tpu.infer.fast_decode import fast_decode_support
-    ok, why = fast_decode_support(model, backend="tpu")
-    assert not ok and "head_dim=32" in why
+    assert fast_decode_support(model, backend="tpu")[0]
     assert fast_decode_support(model, backend="cpu")[0]
+    # the MDN engine has no packed variant: it must still decline on TPU
+    from sketchformer_tpu.infer.fast_decode import _structural_support
+    ok, why = _structural_support(model.config, backend="tpu",
+                                  packed_ok=False)
+    assert not ok and "head_dim=32" in why
     ref = np.asarray(dec.make_token_decoder(model, fast=False)(params, enc))
     got = np.asarray(make_fast_token_decoder(model)(params, enc))
     np.testing.assert_array_equal(got, ref)

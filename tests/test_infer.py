@@ -94,19 +94,30 @@ def test_embed_dataset_over_loader():
 
 def test_engine_warn_once_on_declined_fast_decode(caplog):
     """VERDICT r2 weak 3: a declined config on TPU must LOG when the
-    fused decode engine falls back; the flagship stays silent. (Round 3:
-    the H=8 paper geometry is now SERVED by the chunked kernel, so the
-    declined example is an off-lane head width.)"""
+    fused decode engine falls back; the flagship stays silent. (Round
+    3.3: the H=8 paper geometry is SERVED by the lane-packed token
+    kernel even on TPU, so the declined example is the MDN engine —
+    it has no packed variant yet.)"""
     import logging
 
-    from sketchformer_tpu.infer.fast_decode import fast_decode_support
+    from sketchformer_tpu.infer.fast_decode import (
+        fast_cont_decode_support,
+        fast_decode_support,
+    )
     from sketchformer_tpu.models import Sketchformer, SketchformerConfig
     from sketchformer_tpu.utils import engines
 
     h8 = Sketchformer(SketchformerConfig(
         vocab_size=100, num_classes=5, max_len=32, d_model=256,
         num_layers=1, num_heads=8, dff=64, lowerdim=32))
-    ok, why = fast_decode_support(h8, backend="tpu")
+    ok, _ = fast_decode_support(h8, backend="tpu")
+    assert ok, "packed kernel serves small-head token decode on TPU"
+
+    h8c = Sketchformer(SketchformerConfig(
+        vocab_size=0, num_classes=5, max_len=32, d_model=256,
+        num_layers=1, num_heads=8, dff=64, lowerdim=32,
+        use_continuous=True, num_mixtures=5))
+    ok, why = fast_cont_decode_support(h8c, backend="tpu")
     assert not ok and "head_dim=32" in why
 
     flagship = Sketchformer(SketchformerConfig(
