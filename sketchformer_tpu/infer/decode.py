@@ -210,7 +210,10 @@ def make_cont_decoder(
 
         ok, why = fast_cont_decode_support(model, greedy=True)
         if ok:
-            note_engine("cont-decode", "fused-chunk-kernel")
+            packed = cfg.d_model // cfg.num_heads != 128
+            note_engine("cont-decode",
+                        "fused-chunk-kernel-packed" if packed
+                        else "fused-chunk-kernel")
             return make_fast_cont_decoder(model, max_len=T)
         note_engine("cont-decode", "composed", why)
 

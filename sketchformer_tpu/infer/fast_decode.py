@@ -10,13 +10,13 @@ are identical to infer.decode.make_token_decoder (SOS start, PAD/SOS
 logits masked, EOS finishes a row, finished rows emit PAD, while_loop
 early exit at chunk granularity) — pinned by tests/test_fast_decode.py.
 
-Supported: token mode, pre-LN, attn/mean bottleneck (fixed-size memory),
-ANY head geometry with d_model % num_heads == 0: full-lane heads
-(Dh == 128) run the row-folded kernel; smaller heads — including the
-reference H=8/Dh=32 geometry (SURVEY.md §2) — run the lane-PACKED kernel
-(ops/pallas_decode_packed.py), on TPU and interpret alike. The MDN chunk
-engine has no packed variant yet and declines small heads on TPU.
-``make_fast_token_decoder`` falls back to the composed decoder otherwise.
+Supported: token AND continuous/MDN modes, pre-LN, attn/mean bottleneck
+(fixed-size memory), ANY head geometry with d_model % num_heads == 0:
+full-lane heads (Dh == 128) run the row-folded kernels; smaller heads —
+including the reference H=8/Dh=32 geometry (SURVEY.md §2) — run the
+lane-PACKED kernels (ops/pallas_decode_packed.py), on TPU and interpret
+alike. ``make_fast_token_decoder`` falls back to the composed decoder
+otherwise.
 """
 
 from __future__ import annotations
@@ -47,8 +47,7 @@ def fast_cont_decode_support(model: Sketchformer, backend: str = None,
         return False, "token mode (use fast_decode_support)"
     if not greedy:
         return False, "temperature sampling (greedy only in-kernel)"
-    ok, why = _structural_support(cfg, backend, packed_ok=False)
-    return ok, why
+    return _structural_support(cfg, backend)
 
 
 def fast_decode_support(model: Sketchformer, backend: str = None):
@@ -61,26 +60,19 @@ def fast_decode_support(model: Sketchformer, backend: str = None):
     return _structural_support(cfg, backend)
 
 
-def _structural_support(cfg, backend=None, packed_ok=True):
+def _structural_support(cfg, backend=None):
+    # NOTE: head geometry is no longer a gate anywhere. Full-lane heads
+    # (Dh == 128) run the row-folded chunk kernels; any other
+    # d_model % num_heads == 0 geometry runs the lane-PACKED kernels
+    # (ops/pallas_decode_packed.py — the folded kernels' sub-lane head
+    # fold is what Mosaic rejects at Dh < 128).
+    del backend
     if not cfg.norm_first:
         return False, "post-LN config"
     if cfg.bottleneck_mode not in ("attn", "mean"):
         return False, f"bottleneck_mode={cfg.bottleneck_mode!r}"
     if cfg.d_model % cfg.num_heads:
         return False, "d_model not divisible by num_heads"
-    if not packed_ok:
-        # the folded chunk kernel's head fold is a (NB, H*Dh) ->
-        # (NB*H, Dh) minor-dim reshape — Mosaic rejects it below full
-        # lane width ("infer-vector-layout: unsupported shape cast" at
-        # Dh=32, v5e). Token mode routes small heads to the lane-PACKED
-        # kernel (ops/pallas_decode_packed.py) instead; engines without
-        # a packed variant (the MDN chunk kernel) decline on TPU.
-        backend = backend or jax.default_backend()
-        dh = cfg.d_model // cfg.num_heads
-        if backend == "tpu" and dh != 128:
-            return False, (
-                f"head_dim={dh} != 128 (Mosaic head-fold needs full-lane "
-                "heads and this engine has no packed variant)")
     return True, ""
 
 
@@ -223,8 +215,24 @@ def _decode_cont_from_memory_fast(model, params, memory, B, T,
         Tmax = ((Tmax + 127) // 128) * 128
     w = stack_decoder_weights(params["decoder"], num_layers=L,
                               compute_dtype=dt)
-    ck, cv = precompute_cross_kv(memory, w, num_heads=H,
-                                 qk_norm=cfg.qk_norm)
+    packed = Dh != 128                     # see _decode_ids_from_memory
+    if packed:
+        from sketchformer_tpu.ops.pallas_decode_packed import (
+            fused_decode_cont_chunk_packed,
+            precompute_cross_kv_packed,
+            stack_packed_qk_norms,
+        )
+
+        w = stack_packed_qk_norms(w, H)
+        ck, cv = precompute_cross_kv_packed(memory, w, num_heads=H,
+                                            qk_norm=cfg.qk_norm)
+        kc0 = jnp.zeros((L, B, Tmax, d), dt)
+        chunk_fn = fused_decode_cont_chunk_packed
+    else:
+        ck, cv = precompute_cross_kv(memory, w, num_heads=H,
+                                     qk_norm=cfg.qk_norm)
+        kc0 = jnp.zeros((L, B * H, Tmax, Dh), dt)
+        chunk_fn = fused_decode_cont_chunk
     in_w = params["dec_embed"]["proj"]["kernel"].astype(dt)
     in_b = params["dec_embed"]["proj"]["bias"].astype(jnp.float32)
     pos_table = jnp.asarray(
@@ -232,7 +240,6 @@ def _decode_cont_from_memory_fast(model, params, memory, B, T,
     hw = params["out_head"]["proj"]["kernel"].astype(dt)
     hb = params["out_head"]["proj"]["bias"].astype(jnp.float32)
 
-    kc0 = jnp.zeros((L, B * H, Tmax, Dh), dt)
     vc0 = jnp.zeros_like(kc0)
     # SOS row: (0, 0, pen-down one-hot) — infer.decode's start row
     prev0 = jnp.zeros((B, 5), jnp.float32).at[:, 3].set(1.0)
@@ -249,7 +256,7 @@ def _decode_cont_from_memory_fast(model, params, memory, B, T,
     def body(carry):
         kc, vc, prev, finished, t, xy_buf, pen_buf, valid_buf = carry
         pos_chunk = jax.lax.dynamic_slice(pos_table, (t, 0), (K, d))
-        xy, pen, valid, finished, kn, vn = fused_decode_cont_chunk(
+        xy, pen, valid, finished, kn, vn = chunk_fn(
             prev, finished, kc, vc, ck, cv, in_w, in_b, pos_chunk,
             hw, hb, w, t, num_heads=H, num_mixtures=cfg.num_mixtures,
             qk_norm=cfg.qk_norm)

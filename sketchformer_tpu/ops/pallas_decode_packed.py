@@ -296,6 +296,106 @@ def _packed_loop_kernel(
     finout_ref[:] = fin
 
 
+def _packed_cont_loop_kernel(
+    t_ref,                       # scalar prefetch: (1,) int32 chunk start
+    prev_ref, fin_ref, kc_ref, vc_ref, ck_ref, cv_ref,
+    inw_ref, inb_ref, pos_ref, mhw_ref, mhb_ref,
+    ln1s_ref, ln1b_ref, swqkv_ref, sbqkv_ref,
+    sqns_ref, sqnb_ref, skns_ref, sknb_ref, swo_ref, sbo_ref,
+    ln2s_ref, ln2b_ref, cwq_ref, cbq_ref,
+    cqns_ref, cqnb_ref, cwo_ref, cbo_ref,
+    ln3s_ref, ln3b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+    lnfs_ref, lnfb_ref,
+    xy_ref, pen_ref, valid_ref, finout_ref, kn_ref, vn_ref,
+    kbuf_ref, vbuf_ref, ksem, vsem, *,
+    K, L, H, qk_norm, M, pen_end,
+):
+    """Continuous (MDN) greedy chunk, packed-head layout. The MDN head
+    + greedy component/pen tail is identical to
+    pallas_decode_loop._cont_loop_kernel (it never touches head
+    geometry); only the trunk's attention layout differs."""
+    t0 = t_ref[0]
+    NB = prev_ref.shape[0]
+    d = inw_ref.shape[1]
+    P = 6 * M + 3
+    dt = inw_ref.dtype
+    f32 = jnp.float32
+    sqrt_d = jnp.asarray(d ** 0.5, dt)
+
+    plane = jax.lax.broadcasted_iota(jnp.int32, (NB, P), 1)
+    c5 = jax.lax.broadcasted_iota(jnp.int32, (NB, 5), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)
+
+    trunk_refs = dict(
+        kc_hbm=kc_ref, vc_hbm=vc_ref, kbuf=kbuf_ref, vbuf=vbuf_ref,
+        ksem=ksem, vsem=vsem,
+        rows=pl.dslice(pl.program_id(0) * NB, NB),
+        ck=ck_ref, cv=cv_ref, kn=kn_ref, vn=vn_ref,
+        ln1s=ln1s_ref, ln1b=ln1b_ref, swqkv=swqkv_ref, sbqkv=sbqkv_ref,
+        sqns=sqns_ref, sqnb=sqnb_ref, skns=skns_ref, sknb=sknb_ref,
+        swo=swo_ref, sbo=sbo_ref, ln2s=ln2s_ref, ln2b=ln2b_ref,
+        cwq=cwq_ref, cbq=cbq_ref, cqns=cqns_ref, cqnb=cqnb_ref,
+        cwo=cwo_ref, cbo=cbo_ref, ln3s=ln3s_ref, ln3b=ln3b_ref,
+        w1=w1_ref, b1=b1_ref, w2=w2_ref, b2=b2_ref,
+        lnfs=lnfs_ref, lnfb=lnfb_ref)
+
+    def argmax_lanes(vals, lanes, lo, hi):
+        win = (lanes >= lo) & (lanes < hi)
+        v = jnp.where(win, vals, NEG_INF)
+        mx = jnp.max(v, axis=1, keepdims=True)
+        return jnp.min(jnp.where(v >= mx, lanes, hi),
+                       axis=1, keepdims=True) - lo      # (NB, 1)
+
+    def body(j, carry):
+        prev, finished, xy_acc, pen_acc, valid_acc = carry
+        x = _mm(prev.astype(dt), inw_ref[:]).astype(dt) \
+            + inb_ref[0:1, :].astype(dt)
+        posrow = jnp.sum(
+            jnp.where(kiota == j, pos_ref[:].astype(f32), 0.0),
+            axis=0, keepdims=True)
+        x = x * sqrt_d + posrow.astype(dt)
+
+        h = _packed_trunk_and_ln(x, j, t0, trunk_refs, L=L, H=H,
+                                 qk_norm=qk_norm, dt=dt)
+        raw = (_mm(h, mhw_ref[:]).astype(dt)
+               + mhb_ref[0:1, :].astype(dt)).astype(f32)   # (NB, P)
+        comp = argmax_lanes(raw, plane, 0, M)
+        pen = argmax_lanes(raw, plane, 6 * M, 6 * M + 3)
+        mu_x = jnp.sum(jnp.where(plane == M + comp, raw, 0.0),
+                       axis=1, keepdims=True)
+        mu_y = jnp.sum(jnp.where(plane == 2 * M + comp, raw, 0.0),
+                       axis=1, keepdims=True)
+        fin_b = finished != 0
+        pen = jnp.where(fin_b, pen_end, pen)
+        mu_x = jnp.where(fin_b, 0.0, mu_x)
+        mu_y = jnp.where(fin_b, 0.0, mu_y)
+        valid = jnp.logical_not(fin_b).astype(jnp.int32)
+        finished = jnp.where(pen == pen_end, 1, finished)
+        xy_acc = jnp.where(
+            klane[:, :, None] == j,
+            jnp.concatenate([mu_x, mu_y], axis=1)[:, None, :], xy_acc)
+        pen_acc = jnp.where(klane == j, pen, pen_acc)
+        valid_acc = jnp.where(klane == j, valid, valid_acc)
+        nxt = jnp.where(
+            c5 == 0, mu_x,
+            jnp.where(c5 == 1, mu_y, (c5 - 2 == pen).astype(f32)))
+        return nxt, finished, xy_acc, pen_acc, valid_acc
+
+    kn_ref[:] = jnp.zeros_like(kn_ref)
+    vn_ref[:] = jnp.zeros_like(vn_ref)
+    klane = jax.lax.broadcasted_iota(jnp.int32, (NB, K), 1)
+    prev, fin, xy, pen, valid = jax.lax.fori_loop(
+        0, K, lambda j, c: body(j, c),
+        (prev_ref[:], fin_ref[:],
+         jnp.zeros((NB, K, 2), jnp.float32),
+         jnp.zeros((NB, K), jnp.int32),
+         jnp.zeros((NB, K), jnp.int32)))
+    xy_ref[:] = xy
+    pen_ref[:] = pen
+    valid_ref[:] = valid
+    finout_ref[:] = fin
+
+
 def _nb_packed(B, Tmax, d, itemsize):
     # packed stream buffers are (2 slots x k+v x (NB, Tmax, d-lanes)):
     # per batch row the packed layout costs H*Dh = d lanes instead of
@@ -444,3 +544,90 @@ def fused_decode_chunk_packed(
       k_cache, v_cache, cross_k, cross_v, *consts, *wargs)
     # (L, K, B, d) -> the cache scatter layout (L, B, K, d)
     return ids, fin, jnp.swapaxes(kn, 1, 2), jnp.swapaxes(vn, 1, 2)
+
+
+def fused_decode_cont_chunk_packed(
+    prev_row: jnp.ndarray,   # (B, 5) f32 last stroke row (SOS row first)
+    finished: jnp.ndarray,   # (B, 1) int32
+    k_cache: jnp.ndarray,    # (L, B, Tmax, d) PACKED
+    v_cache: jnp.ndarray,
+    cross_k: jnp.ndarray,    # (L, B, Mq, d) packed
+    cross_v: jnp.ndarray,
+    in_w: jnp.ndarray,       # (5, d) ContinuousEmbed proj kernel, dt
+    in_b: jnp.ndarray,       # (d,) f32 proj bias
+    pos_chunk: jnp.ndarray,  # (K, d) positional rows t..t+K-1
+    head_w: jnp.ndarray,     # (d, 6M+3) MDN head kernel, dt
+    head_b: jnp.ndarray,     # (6M+3,) f32 MDN head bias
+    w: dict,                 # stack_decoder_weights + stack_packed_qk_norms
+    t: jnp.ndarray,
+    *,
+    num_heads: int,
+    num_mixtures: int,
+    qk_norm: bool = False,
+    pen_end: int = 2,
+):
+    """K greedy MDN decode steps per pallas call, packed-head caches.
+    Semantics of infer.decode._decode_cont_from_memory greedy; returns
+    (xy, pen, valid, finished, k_new (L, B, K, d), v_new)."""
+    B = prev_row.shape[0]
+    L, _, Tmax, d = k_cache.shape
+    K = pos_chunk.shape[0]
+    Mq = cross_k.shape[2]
+    NB = _nb_packed(B, Tmax, d, k_cache.dtype.itemsize)
+
+    def rowspec(width):
+        return pl.BlockSpec((NB, width), lambda g, *_: (g, 0),
+                            memory_space=pltpu.VMEM)
+
+    spec_cache = pl.BlockSpec(memory_space=pl.ANY)   # HBM, streamed
+    spec_ckv = pl.BlockSpec((L, NB, Mq, d), lambda g, *_: (0, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_new = pl.BlockSpec((L, K, NB, d), lambda g, *_: (0, 0, g, 0),
+                            memory_space=pltpu.VMEM)
+    spec_xy = pl.BlockSpec((NB, K, 2), lambda g, *_: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def wspec(a):
+        zeros = (0,) * a.ndim
+        return pl.BlockSpec(a.shape, lambda g, *_a, _z=zeros: _z,
+                            memory_space=pltpu.VMEM)
+
+    wargs = [w[k] for k in _PACKED_WKEYS]
+    consts = [in_w, in_b.reshape(1, -1), pos_chunk, head_w,
+              head_b.reshape(1, -1)]
+    scratch = [
+        pltpu.VMEM((2, NB, Tmax, d), k_cache.dtype),
+        pltpu.VMEM((2, NB, Tmax, d), v_cache.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // NB,),
+        in_specs=[rowspec(5), rowspec(1), spec_cache, spec_cache,
+                  spec_ckv, spec_ckv]
+        + [wspec(a) for a in consts] + [wspec(a) for a in wargs],
+        out_specs=(spec_xy, rowspec(K), rowspec(K), rowspec(1),
+                   spec_new, spec_new),
+        scratch_shapes=scratch,
+    )
+    xy, pen, valid, fin, kn, vn = pl.pallas_call(
+        functools.partial(
+            _packed_cont_loop_kernel, K=K, L=L, H=num_heads,
+            qk_norm=qk_norm, M=num_mixtures, pen_end=pen_end),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((L, K, B, d), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, K, B, d), v_cache.dtype),
+        ),
+        interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(jnp.reshape(t.astype(jnp.int32), (1,)), prev_row, finished,
+      k_cache, v_cache, cross_k, cross_v, *consts, *wargs)
+    return (xy, pen, valid, fin,
+            jnp.swapaxes(kn, 1, 2), jnp.swapaxes(vn, 1, 2))

@@ -80,11 +80,6 @@ def test_fast_decode_reference_head_geometry():
     from sketchformer_tpu.infer.fast_decode import fast_decode_support
     assert fast_decode_support(model, backend="tpu")[0]
     assert fast_decode_support(model, backend="cpu")[0]
-    # the MDN engine has no packed variant: it must still decline on TPU
-    from sketchformer_tpu.infer.fast_decode import _structural_support
-    ok, why = _structural_support(model.config, backend="tpu",
-                                  packed_ok=False)
-    assert not ok and "head_dim=32" in why
     ref = np.asarray(dec.make_token_decoder(model, fast=False)(params, enc))
     got = np.asarray(make_fast_token_decoder(model)(params, enc))
     np.testing.assert_array_equal(got, ref)
@@ -164,4 +159,28 @@ def test_fast_cont_decode_from_z_matches_composed():
     got = make_fast_cont_decoder_from_z(model)(params, z, rng)
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fast_cont_decode_reference_head_geometry():
+    """MDN greedy decode at the reference's small-head shape family
+    (head_dim=32): served by the lane-PACKED cont chunk kernel (round
+    3.3) — the same oracle equivalence as the flagship cont test."""
+    from sketchformer_tpu.infer.fast_decode import (
+        fast_cont_decode_support,
+        make_fast_cont_decoder,
+    )
+
+    model, params, enc, enc_mask = _cont_model(
+        seed=6, d_model=256, num_heads=8, dff=512, num_layers=2,
+        lowerdim=64)
+    assert fast_cont_decode_support(model, backend="tpu")[0]
+    rng = jax.random.PRNGKey(7)
+    ref_xy, ref_pen, ref_valid = dec.make_cont_decoder(
+        model, early_exit=False)(params, enc, enc_mask, rng)
+    xy, pen, valid = make_fast_cont_decoder(model)(
+        params, enc, enc_mask, rng)
+    np.testing.assert_array_equal(np.asarray(pen), np.asarray(ref_pen))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+    np.testing.assert_allclose(np.asarray(xy), np.asarray(ref_xy),
                                rtol=1e-5, atol=1e-6)

@@ -95,15 +95,12 @@ def test_embed_dataset_over_loader():
 def test_engine_warn_once_on_declined_fast_decode(caplog):
     """VERDICT r2 weak 3: a declined config on TPU must LOG when the
     fused decode engine falls back; the flagship stays silent. (Round
-    3.3: the H=8 paper geometry is SERVED by the lane-packed token
-    kernel even on TPU, so the declined example is the MDN engine —
-    it has no packed variant yet.)"""
+    3.3: the H=8 paper geometry is SERVED by the lane-packed kernels in
+    BOTH token and MDN modes, so the declined example is a structural
+    one — the direct/variable-length bottleneck.)"""
     import logging
 
-    from sketchformer_tpu.infer.fast_decode import (
-        fast_cont_decode_support,
-        fast_decode_support,
-    )
+    from sketchformer_tpu.infer.fast_decode import fast_decode_support
     from sketchformer_tpu.models import Sketchformer, SketchformerConfig
     from sketchformer_tpu.utils import engines
 
@@ -113,12 +110,12 @@ def test_engine_warn_once_on_declined_fast_decode(caplog):
     ok, _ = fast_decode_support(h8, backend="tpu")
     assert ok, "packed kernel serves small-head token decode on TPU"
 
-    h8c = Sketchformer(SketchformerConfig(
-        vocab_size=0, num_classes=5, max_len=32, d_model=256,
+    direct = Sketchformer(SketchformerConfig(
+        vocab_size=100, num_classes=5, max_len=32, d_model=256,
         num_layers=1, num_heads=8, dff=64, lowerdim=32,
-        use_continuous=True, num_mixtures=5))
-    ok, why = fast_cont_decode_support(h8c, backend="tpu")
-    assert not ok and "head_dim=32" in why
+        bottleneck_mode="direct"))
+    ok, why = fast_decode_support(direct, backend="tpu")
+    assert not ok and "bottleneck_mode" in why
 
     flagship = Sketchformer(SketchformerConfig(
         vocab_size=100, num_classes=5, max_len=32, d_model=256,
@@ -133,7 +130,7 @@ def test_engine_warn_once_on_declined_fast_decode(caplog):
         engines.note_engine("decode", "fused-step-kernel")
     warns = [r for r in caplog.records if r.levelno >= logging.WARNING]
     assert len(warns) == 1
-    assert "head_dim=32" in warns[0].getMessage()
+    assert "bottleneck_mode" in warns[0].getMessage()
 
 
 def test_make_token_decoder_notes_engine(caplog):
