@@ -63,7 +63,7 @@ def check_encoder():
     def run(drop, impl):
         def f(x, wl):
             y = pet._stack_train(x, bias, drop, L, H, d // H,
-                                 (True, False, thresh, impl), *wl)
+                                 (True, False, thresh, impl, False), *wl)
             return (y.astype(jnp.float32) ** 2).sum()
         val, grads = jax.value_and_grad(f, argnums=(0, 1))(x, wlist)
         return val, grads
@@ -108,7 +108,7 @@ def check_decoder():
         def f(x, mem, wl):
             y = pdt._dec_stack_train(
                 x, mem, sbias, cbias, L, H, d // H,
-                (False, False, False, thresh, impl), drop, *wl)
+                (False, False, False, thresh, impl, False), drop, *wl)
             return (y.astype(jnp.float32) ** 2).sum()
         val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(x, mem, wlist)
         return val, grads
