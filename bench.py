@@ -180,25 +180,38 @@ def main() -> None:
             5 * BB / (time.perf_counter() - t0), 1)
 
     # --- train-step throughput (state chains via donation) --------------
+    # batches feed through the SAME async device prefetcher the production
+    # loop uses (train/loop.py + data/prefetch.py): each iteration still
+    # ships the full host batch, but the copy overlaps the running step
+    # instead of sitting on its critical path.
+    from itertools import repeat
+
+    from sketchformer_tpu.data.packed import pack_batch
+    from sketchformer_tpu.data.prefetch import device_prefetch
+
     tx = make_optimizer(cfg.d_model)
     TB = 512 if on_tpu else 32
+    iters = 20 if on_tpu else 2
+
+    def timed_train(mdl, host_batch):
+        st = create_train_state(mdl, tx, jax.random.PRNGKey(0), host_batch)
+        stp = make_train_step(mdl, tx)
+        feed = device_prefetch(repeat(pack_batch(host_batch)), depth=2)
+        st, m = stp(st, next(feed))  # compile
+        _value(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, m = stp(st, next(feed))
+        _value(m["loss"])
+        return round(TB * iters / (time.perf_counter() - t0), 1)
+
     batch = {
         "enc": np.asarray(enc[:TB]),
         "dec_in": np.asarray(dec_in[:TB]),
         "dec_tgt": np.asarray(enc[:TB]),
         "label": rng.integers(0, 345, TB).astype(np.int32),
     }
-    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    step = make_train_step(model, tx)
-    state, m = step(state, batch)  # compile
-    _value(m["loss"])
-    iters = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch)
-    _value(m["loss"])
-    extras["train_sketches_per_sec"] = round(
-        TB * iters / (time.perf_counter() - t0), 1)
+    extras["train_sketches_per_sec"] = timed_train(model, batch)
 
     # --- reference head geometry (num_heads=8, head_dim=32) -------------
     # SURVEY §2 specifies H≈8; the packed small-head kernels serve it
@@ -239,17 +252,7 @@ def main() -> None:
             lat8.append(time.perf_counter() - t0)
         extras["decode_p50_ms_h8"] = round(
             float(np.percentile(lat8, 50)) * 1e3, 2)
-        state8 = create_train_state(model8, tx, jax.random.PRNGKey(0),
-                                    batch)
-        step8 = make_train_step(model8, tx)
-        state8, m8_ = step8(state8, batch)
-        _value(m8_["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state8, m8_ = step8(state8, batch)
-        _value(m8_["loss"])
-        extras["train_sketches_per_sec_h8"] = round(
-            TB * iters / (time.perf_counter() - t0), 1)
+        extras["train_sketches_per_sec_h8"] = timed_train(model8, batch)
 
     # --- continuous/MDN regime (SURVEY §0 regime 2) ----------------------
     # first-class perf numbers for cont2cont: encode, greedy MDN decode
@@ -321,17 +324,7 @@ def main() -> None:
             "dec_mask": np.asarray(maskc[:TB]),
             "label": rng.integers(0, 345, TB).astype(np.int32),
         }
-        statec = create_train_state(modelc, tx, jax.random.PRNGKey(0),
-                                    batchc)
-        stepc = make_train_step(modelc, tx)
-        statec, mc = stepc(statec, batchc)
-        _value(mc["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            statec, mc = stepc(statec, batchc)
-        _value(mc["loss"])
-        extras["cont_train_sketches_per_sec"] = round(
-            TB * iters / (time.perf_counter() - t0), 1)
+        extras["cont_train_sketches_per_sec"] = timed_train(modelc, batchc)
 
     extras["backend"] = jax.default_backend()
     extras["seq_len"] = SEQ

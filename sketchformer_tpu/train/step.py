@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import optax
 from flax.core import FrozenDict
 
+from sketchformer_tpu.data.packed import unpack_batch
 from sketchformer_tpu.models.sketchformer import Sketchformer
 from sketchformer_tpu.train import loss as losses
 
@@ -57,7 +58,7 @@ def create_train_state(
 ) -> TrainState:
     cfg = model.config
     init_rng, state_rng = jax.random.split(rng)
-    kwargs = _model_kwargs(cfg, sample_batch)
+    kwargs = _model_kwargs(cfg, unpack_batch(sample_batch))
     params = model.init({"params": init_rng, "dropout": init_rng}, **kwargs)[
         "params"
     ]
@@ -166,6 +167,10 @@ def make_train_step(
     data_axis = "data" if (explicit_spmd and mesh is not None) else None
 
     def step(state: TrainState, batch: Dict[str, Any]):
+        # packed wire batches (data/packed.py) expand on device: the loop
+        # ships only rows/lengths/labels, the derived dec_in/targets/masks
+        # cost elementwise work here instead of host->device bandwidth
+        batch = unpack_batch(batch)
         step_rng = jax.random.fold_in(state.rng, state.step)
         if data_axis is not None:
             # independent dropout masks per data shard (replicated rng
@@ -251,6 +256,7 @@ def make_eval_step(
     fused_ce = not cfg.use_continuous
 
     def step(params, batch):
+        batch = unpack_batch(batch)
         if fused_ce:
             outputs = model.apply(
                 {"params": params}, **_model_kwargs(cfg, batch),

@@ -288,3 +288,113 @@ def test_is_real_excluded_from_embedding_galleries():
         batches[0]["dec_in"][:2])["params"]
     Z, L = embed_dataset(model, params, batches)
     assert Z.shape[0] == 5 and L.shape[0] == 5
+
+
+def test_device_prefetch_order_and_drain():
+    """device_prefetch yields every batch once, in order, device-resident,
+    and depth=0 is a synchronous passthrough (data/prefetch.py)."""
+    import jax
+    import numpy as np
+    from sketchformer_tpu.data.prefetch import device_prefetch
+
+    host = [{"enc": np.full((2, 3), i, np.float32), "label": np.array([i])}
+            for i in range(7)]
+    out = list(device_prefetch(iter(host), depth=3))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        assert isinstance(b["enc"], jax.Array)
+        assert float(b["enc"][0, 0]) == i
+    sync = list(device_prefetch(iter(host), depth=0))
+    assert len(sync) == 7 and isinstance(sync[0]["enc"], np.ndarray)
+
+
+def test_device_prefetch_stages_ahead():
+    """The prefetcher pulls up to `depth` batches from the host iterator
+    before the consumer asks for the second one (the overlap property)."""
+    import numpy as np
+    from sketchformer_tpu.data.prefetch import device_prefetch
+
+    pulled = []
+
+    def src():
+        for i in range(5):
+            pulled.append(i)
+            yield {"x": np.array([i], np.float32)}
+
+    it = device_prefetch(src(), depth=2)
+    first = next(it)
+    assert float(first["x"][0]) == 0
+    assert len(pulled) >= 2  # staged ahead of consumption
+
+
+def test_packed_wire_roundtrip_bit_exact():
+    """pack_batch -> unpack_batch reconstructs the pipeline builders'
+    output exactly, both modes (data/packed.py — wire format ships only
+    rows/lengths/labels; the rest is derived on device)."""
+    import numpy as np
+    from sketchformer_tpu.data.packed import is_packed, pack_batch, unpack_batch
+    from sketchformer_tpu.data.pipeline import make_batch_cont, make_batch_tok
+
+    sketches, labels = synthetic.generate_dataset(9, 3, seed=7)
+    labels = np.asarray(labels)
+
+    tok = GridTokenizer(resolution=16)
+    full = make_batch_tok(tok, sketches, labels, max_len=48)
+    wire = pack_batch(full)
+    assert is_packed(wire) and set(wire) == {"enc", "label"}
+    back = unpack_batch(wire)
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(back[k]), full[k], err_msg=k)
+
+    for native in (False, True):
+        full = make_batch_cont(sketches, labels, max_len=48, scale=1.0,
+                               native=native)
+        wire = pack_batch(full)
+        assert set(wire) == {"enc", "label", "n"}
+        # wire payload is ~5x smaller than the full batch
+        bytes_of = lambda b: sum(np.asarray(v).nbytes for v in b.values())
+        assert bytes_of(wire) * 4 < bytes_of(full)
+        back = unpack_batch(wire)
+        for k in full:
+            np.testing.assert_array_equal(
+                np.asarray(back[k]), full[k], err_msg=f"{k} native={native}")
+
+    # is_real rides the wire untouched
+    full = make_batch_tok(tok, sketches, labels, max_len=48)
+    full["is_real"] = np.array([1.0] * 8 + [0.0], np.float32)
+    assert "is_real" in pack_batch(full)
+
+
+def test_packed_batch_trains_identically():
+    """A train step fed the packed wire batch produces the same loss and
+    params as the full batch (train/step.py unpacks inside jit)."""
+    import jax
+    import numpy as np
+    from sketchformer_tpu.data.packed import pack_batch
+    from sketchformer_tpu.data.pipeline import make_batch_cont
+    from sketchformer_tpu.models import Sketchformer, SketchformerConfig
+    from sketchformer_tpu.train.schedule import make_optimizer
+    from sketchformer_tpu.train.step import create_train_state, make_train_step
+
+    sketches, labels = synthetic.generate_dataset(8, 2, seed=3)
+    full = make_batch_cont(sketches, np.asarray(labels), max_len=48,
+                           scale=1.0, native=False)
+    cfg = SketchformerConfig(
+        vocab_size=16, num_classes=8, max_len=48, d_model=32, num_layers=1,
+        num_heads=2, dff=32, lowerdim=16, use_continuous=True,
+        num_mixtures=3, dropout=0.0)
+    model = Sketchformer(cfg)
+    tx = make_optimizer(cfg.d_model)
+
+    def one_step(batch):
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        step = make_train_step(model, tx)
+        state, m = step(state, batch)
+        return float(m["loss"]), state.params
+
+    loss_full, p_full = one_step(full)
+    loss_wire, p_wire = one_step(pack_batch(full))
+    assert loss_full == loss_wire
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)), p_full, p_wire)
