@@ -35,12 +35,14 @@ def device_prefetch(
     batches: Iterable[Dict[str, Any]],
     mesh: Optional[jax.sharding.Mesh] = None,
     depth: int = 2,
+    stacked: bool = False,
 ) -> Iterator[Dict[str, Any]]:
     """Yield device-resident batches, staging up to ``depth`` ahead.
 
     ``batches`` yields host (numpy) pytrees; order is preserved. With a
     mesh, batches are placed directly into their ``data``-axis sharding
-    (parallel.sharding.shard_batch). ``depth=2`` (double buffering) hides
+    (parallel.sharding.shard_batch); ``stacked`` marks steps_per_call
+    batches whose leading axis is the (replicated) step axis. ``depth=2`` (double buffering) hides
     the copy behind any step longer than it; deeper pipelines only add
     HBM pressure. ``depth=0`` disables staging (synchronous passthrough)
     for debugging.
@@ -58,7 +60,7 @@ def device_prefetch(
         from sketchformer_tpu.parallel.sharding import shard_batch
 
         def ship(b):
-            return shard_batch(b, mesh)
+            return shard_batch(b, mesh, stacked=stacked)
     else:
 
         def ship(b):

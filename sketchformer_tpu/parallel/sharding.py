@@ -107,9 +107,14 @@ def batch_spec(leaf, stacked: bool = False) -> P:
     return P("data", *([None] * (leaf.ndim - 1)))
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                stacked: bool = False) -> Dict[str, Any]:
+    """Place a host batch into its data-parallel sharding. ``stacked``:
+    leaves carry a leading steps_per_call axis (replicated) before the
+    batch axis — without it a stacked batch would be split over the STEP
+    axis and resharded inside the jitted step."""
     return {
-        k: jax.device_put(v, NamedSharding(mesh, batch_spec(v)))
+        k: jax.device_put(v, NamedSharding(mesh, batch_spec(v, stacked)))
         for k, v in batch.items()
     }
 

@@ -187,7 +187,8 @@ def _run_training(
             yield pack_batch(next_call_batch())
 
     device_stream = device_prefetch(
-        _call_batches(), mesh=mesh, depth=loop_cfg.device_prefetch)
+        _call_batches(), mesh=mesh, depth=loop_cfg.device_prefetch,
+        stacked=K > 1)
 
     ckpt = CheckpointManager(run_dir, save_interval_steps=loop_cfg.save_every)
     ckpt.save_config(cfg)

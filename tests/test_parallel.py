@@ -104,6 +104,25 @@ def test_sharded_batch_layout():
     assert sb["enc"].addressable_shards[0].data.shape == (2, 64)
 
 
+def test_sharded_batch_layout_stacked():
+    """steps_per_call batches (leading K step axis) shard the BATCH axis,
+    replicating the step axis — and the device_prefetch worker places
+    them the same way (stacked= flows through)."""
+    import numpy as np
+
+    from sketchformer_tpu.data.prefetch import device_prefetch
+
+    mesh = make_mesh()
+    _, _, _, batches = _setup()
+    stacked = {k: np.stack([v, v]) for k, v in batches[0].items()}
+    sb = shard_batch(stacked, mesh, stacked=True)
+    assert sb["enc"].sharding.spec == P(None, "data", None)
+    assert sb["enc"].addressable_shards[0].data.shape == (2, 2, 64)
+    out = next(device_prefetch(iter([stacked]), mesh=mesh, depth=1,
+                               stacked=True))
+    assert out["enc"].sharding.spec == P(None, "data", None)
+
+
 def test_bf16_sharded_step_runs():
     mesh = make_mesh(model_parallelism=2)
     model, tx, state, batches = _setup(model_kwargs={"dtype": "bfloat16"})
