@@ -78,18 +78,43 @@ def embed_dataset(
 
     Rows flagged unreal by ``batch["is_real"]`` (repeat-padded duplicates
     that exist only to fill the static batch shape) are dropped, so the
-    returned gallery never double-counts a sketch."""
+    returned gallery never double-counts a sketch.
+
+    Inputs are staged to the device asynchronously (data/prefetch.py) so
+    the host->device copy of batch N+1 overlaps batch N's encode — on the
+    remote-PJRT link the synchronous upload otherwise serializes with
+    both the encode and the z fetch. label/is_real stay host-side (they
+    are only consumed as numpy)."""
+    from collections import deque
+
+    from sketchformer_tpu.data.prefetch import device_prefetch
+
     embed = make_embed_fn(model)
+    cont = model.config.use_continuous
+    # host parts ride a deque the prefetch worker appends to BEFORE
+    # yielding the matching device part (deque ops are thread-safe, the
+    # worker stays <= depth+1 ahead, and device_prefetch preserves order)
+    host_parts: deque = deque()
+
+    def device_part():
+        for b in batches:
+            host_parts.append(
+                (np.asarray(b["label"]), b.get("is_real")))
+            d = {"enc": b["enc"]}
+            if cont:
+                d["enc_mask"] = b["enc_mask"]
+            yield d
+
     zs, labels = [], []
-    for batch in batches:
-        if model.config.use_continuous:
-            z = embed(params, batch["enc"], batch["enc_mask"])
+    for dev in device_prefetch(device_part(), depth=2):
+        lab, is_real = host_parts.popleft()
+        if cont:
+            z = embed(params, dev["enc"], dev["enc_mask"])
         else:
-            z = embed(params, batch["enc"])
+            z = embed(params, dev["enc"])
         z = np.asarray(z)
-        lab = np.asarray(batch["label"])
-        if "is_real" in batch:
-            keep = np.asarray(batch["is_real"]) > 0.5
+        if is_real is not None:
+            keep = np.asarray(is_real) > 0.5
             z, lab = z[keep], lab[keep]
         zs.append(z)
         labels.append(lab)
