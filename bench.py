@@ -194,6 +194,11 @@ def main() -> None:
     iters = 20 if on_tpu else 2
 
     def timed_train(mdl, host_batch):
+        # steps_per_call=1 deliberately: K=8 chunking was re-measured
+        # AFTER the packed-wire + async-prefetch path landed and its
+        # ~1 ms dispatch win is gone (54.3 vs ~50.4 ms/step same-session
+        # A/B — the 8x wire payload per call outweighs the saved
+        # dispatches; docs/PERF_TRAIN.md round 3.5)
         st = create_train_state(mdl, tx, jax.random.PRNGKey(0), host_batch)
         stp = make_train_step(mdl, tx)
         feed = device_prefetch(repeat(pack_batch(host_batch)), depth=2)
