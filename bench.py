@@ -39,6 +39,12 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent executable cache: some workers' remote-compile link is
+    # 30-90 s per program; a warmed cache loads each in <1 s
+    # (utils/compile_cache.py)
+    from sketchformer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from sketchformer_tpu.infer import decode as dec
     from sketchformer_tpu.models import Sketchformer, SketchformerConfig

@@ -477,6 +477,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # persistent executable cache: slow-worker remote-compile resilience
+    # (utils/compile_cache.py; SKETCHFORMER_NO_JAX_CACHE=1 opts out)
+    from sketchformer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

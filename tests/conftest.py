@@ -21,3 +21,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent executable cache: cuts repeat-suite wall-clock on the 1-CPU
+# workers (CPU programs cache too; utils/compile_cache.py)
+from sketchformer_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
