@@ -22,8 +22,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# persistent executable cache: cuts repeat-suite wall-clock on the 1-CPU
-# workers (CPU programs cache too; utils/compile_cache.py)
+# Persistent executable cache: a no-op here since round 4 — the platform
+# above is cpu-only and utils/compile_cache.py stands down for the CPU
+# backend (same-machine XLA:CPU AOT reloads log machine-mismatch SIGILL
+# warnings; see that module's docstring). Kept so a TPU-targeted test
+# invocation still benefits.
 from sketchformer_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache()
