@@ -36,6 +36,7 @@ def device_prefetch(
     mesh: Optional[jax.sharding.Mesh] = None,
     depth: int = 2,
     stacked: bool = False,
+    host_identical: bool = False,
 ) -> Iterator[Dict[str, Any]]:
     """Yield device-resident batches, staging up to ``depth`` ahead.
 
@@ -60,7 +61,10 @@ def device_prefetch(
         from sketchformer_tpu.parallel.sharding import shard_batch
 
         def ship(b):
-            return shard_batch(b, mesh, stacked=stacked)
+            # host_identical: eval feeds where every process already holds
+            # the full batch (multi-process meshes slice instead of concat)
+            return shard_batch(b, mesh, stacked=stacked,
+                               host_identical=host_identical)
     else:
 
         def ship(b):

@@ -33,16 +33,25 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Multi-host init (no-op when single-process / already initialized)."""
-    if jax.process_count() > 1:
-        return
+    """Multi-host init (no-op when single-process / already initialized).
+
+    Order matters: ``jax.distributed.initialize`` must run BEFORE the first
+    backend initialization, and ``jax.process_count()`` itself initializes
+    the backend — so the already-initialized guard must NOT probe the
+    process count (the round-3 version did; first executed by the
+    2-process harness in parallel/multiprocess.py, which caught it)."""
     if coordinator_address is None:
         return  # single-host
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # idempotent: a second call is a no-op
+        raise
 
 
 def make_mesh(

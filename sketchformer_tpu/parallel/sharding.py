@@ -19,7 +19,22 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Tuple
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _put(x, sharding: NamedSharding):
+    """Place a host array into ``sharding``. Multi-process aware: when the
+    mesh spans devices this process cannot address (real multi-host DP, or
+    the 2-process localhost harness in parallel/multiprocess.py),
+    ``jax.device_put`` cannot target them — build the global array from
+    this process's addressable shards instead. ``x`` must hold the FULL
+    (global) value, which is true for params/opt-state/scalars (identical
+    on every process by construction: same init seed, same update)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def _spec_for_param(path: Tuple[str, ...], leaf) -> P:
@@ -61,7 +76,7 @@ def get_param_specs(params) -> Any:
 def shard_params(params, mesh: Mesh):
     specs = get_param_specs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+        lambda x, s: _put(x, NamedSharding(mesh, s)), params, specs
     )
 
 
@@ -75,26 +90,26 @@ def shard_state(state, mesh: Mesh):
 
     def put_like_params(subtree):
         return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            lambda x, s: _put(x, NamedSharding(mesh, s)),
             subtree, pspecs)
 
     def walk(node):
         if hasattr(node, "mu") and hasattr(node, "nu"):  # ScaleByAdamState
             return node._replace(
-                count=jax.device_put(node.count, rep),
+                count=_put(node.count, rep),
                 mu=put_like_params(node.mu),
                 nu=put_like_params(node.nu))
         if isinstance(node, tuple) and hasattr(node, "_fields"):
             return type(node)(*[walk(c) for c in node])
         if isinstance(node, (tuple, list)):
             return type(node)(walk(c) for c in node)
-        return jax.tree.map(lambda x: jax.device_put(x, rep), node)
+        return jax.tree.map(lambda x: _put(x, rep), node)
 
     return TrainState(
         shard_params(state.params, mesh),
         walk(state.opt_state),
-        jax.device_put(state.step, rep),
-        jax.device_put(state.rng, rep),
+        _put(state.step, rep),
+        _put(state.rng, rep),
     )
 
 
@@ -108,15 +123,41 @@ def batch_spec(leaf, stacked: bool = False) -> P:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh,
-                stacked: bool = False) -> Dict[str, Any]:
+                stacked: bool = False,
+                host_identical: bool = False) -> Dict[str, Any]:
     """Place a host batch into its data-parallel sharding. ``stacked``:
     leaves carry a leading steps_per_call axis (replicated) before the
     batch axis — without it a stacked batch would be split over the STEP
-    axis and resharded inside the jitted step."""
-    return {
-        k: jax.device_put(v, NamedSharding(mesh, batch_spec(v, stacked)))
-        for k, v in batch.items()
-    }
+    axis and resharded inside the jitted step.
+
+    Multi-process meshes (mesh devices not all addressable): by default
+    each process passes its LOCAL batch rows — its disjoint slice of the
+    data stream (DistributedStroke3Loader process striding) — and the
+    global batch is their concatenation in process order along the batch
+    axis. ``host_identical=True`` is for feeds where every process holds
+    the SAME full batch (eval splits are read whole on all hosts): each
+    process contributes only its process_index-th row slice so the
+    global array equals the original batch instead of P copies of it."""
+    out = {}
+    for k, v in batch.items():
+        s = NamedSharding(mesh, batch_spec(v, stacked))
+        if s.is_fully_addressable:
+            out[k] = jax.device_put(v, s)
+            continue
+        if host_identical:
+            axis = 1 if stacked else 0
+            pi, pc = jax.process_index(), jax.process_count()
+            n = v.shape[axis]
+            if n % pc:
+                raise ValueError(
+                    f"host-identical batch axis {n} not divisible by "
+                    f"process_count={pc}")
+            step_n = n // pc
+            idx = [slice(None)] * v.ndim
+            idx[axis] = slice(pi * step_n, (pi + 1) * step_n)
+            v = v[tuple(idx)]
+        out[k] = jax.make_array_from_process_local_data(s, np.asarray(v))
+    return out
 
 
 def constrain_batch(batch: Dict[str, Any], mesh: Mesh,

@@ -114,7 +114,13 @@ def _run_training(
     notifier: Optional[Notifier] = None,
     max_eval_batches: int = 8,
 ) -> Dict[str, float]:
-    notifier = notifier or NullNotifier()
+    # Multi-process runs (jax.distributed initialized — real pods or the
+    # localhost harness in parallel/multiprocess.py): every process drives
+    # the SAME loop over the global mesh, but the run dir has exactly ONE
+    # writer — process 0 owns metrics/config/notifications; checkpoint
+    # saves stay collective (orbax coordinates the single on-disk write).
+    is_main = jax.process_index() == 0
+    notifier = (notifier or NullNotifier()) if is_main else NullNotifier()
     cfg = model.config
 
     tx = make_optimizer(
@@ -191,22 +197,30 @@ def _run_training(
         stacked=K > 1)
 
     ckpt = CheckpointManager(run_dir, save_interval_steps=loop_cfg.save_every)
-    ckpt.save_config(cfg)
-    ckpt.save_meta({"prng_impl": loop_cfg.prng_impl})
+    if is_main:
+        ckpt.save_config(cfg)
+        ckpt.save_meta({"prng_impl": loop_cfg.prng_impl})
     if loop_cfg.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
     current = {"state": state}
     ckpt.save_on_signal(lambda: current["state"])
 
-    writer = MetricWriter(run_dir)
+    from sketchformer_tpu.utils.metrics import NullMetricWriter
+
+    writer = MetricWriter(run_dir) if is_main else NullMetricWriter()
     timer = StepTimer()
     step_i = int(state.step)
     last_metrics: Dict[str, float] = {}
+    last_eval_step = -1
 
     def run_eval() -> Dict[str, float]:
         batches = loader.get_validation_set(max_batches=max_eval_batches)
         acc: Dict[str, float] = {}
-        for b in device_prefetch(batches, mesh=mesh, depth=2):
+        # eval splits are read whole on EVERY process (loader policy), so
+        # on a multi-process mesh the feed is host-identical: each process
+        # contributes its row slice instead of duplicating the batch
+        for b in device_prefetch(batches, mesh=mesh, depth=2,
+                                 host_identical=True):
             m = eval_step(current["state"].params, b)
             for k, v in m.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
@@ -228,7 +242,18 @@ def _run_training(
         or loop_cfg.eval_every)
 
     def run_registered_metrics(step):
-        metric_ctx.params = current["state"].params
+        # plot/retrieval metrics are main-process work: they decode and
+        # render on the host. Under multi-process, hand main a host copy
+        # of the (replicated) params so its local jits don't mix global
+        # arrays with local computations.
+        if not is_main:
+            return
+        params = current["state"].params
+        if jax.process_count() > 1:
+            import numpy as np
+
+            params = jax.tree.map(np.asarray, params)
+        metric_ctx.params = params
         metric_ctx.step = step
         for m in registered:
             out = m.compute(metric_ctx)
@@ -277,6 +302,7 @@ def _run_training(
             ev = run_eval()
             writer.write_scalars(step_i, ev)
             last_metrics.update(ev)
+            last_eval_step = step_i
         if crossed(loop_cfg.notify_every):
             notifier.notify(f"step {step_i}", scalars=last_metrics)
         if registered and crossed(metrics_every):
@@ -286,8 +312,14 @@ def _run_training(
             # int(state.step), which would force a device sync every step
             ckpt.save(state)
 
-    final = run_eval()
-    writer.write_scalars(step_i, final)
+    if last_eval_step == step_i:
+        # the cadence eval already ran at this exact step — reuse it
+        # instead of recomputing and double-writing the same record
+        final = {k: v for k, v in last_metrics.items()
+                 if k.startswith("val_")}
+    else:
+        final = run_eval()
+        writer.write_scalars(step_i, final)
     ckpt.save(current["state"], force=True)
     ckpt.wait_until_finished()
     writer.close()

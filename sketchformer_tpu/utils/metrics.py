@@ -70,6 +70,20 @@ class MetricWriter:
         self._jsonl.close()
 
 
+class NullMetricWriter:
+    """No-op writer for non-primary processes in multi-process runs: the
+    run dir has ONE writer (process 0), everyone else burns no IO."""
+
+    def write_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        pass
+
+    def write_image(self, step: int, name: str, image: np.ndarray) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def reconstruction_grid(
     originals: Iterable[np.ndarray],
     reconstructions: Iterable[np.ndarray],
