@@ -577,19 +577,36 @@ def _fwd_nb(B, T, d, dff, H, itemsize, extra_per_batch=0):
     return nb
 
 
-def _bwd_nb(B, T, d, dff, H, itemsize):
+def _bwd_nb(B, T, d, dff, H, itemsize, packed=False):
     from sketchformer_tpu.ops.pallas_encoder_train import _pad128
 
     d_p, dff_p, T_p = _pad128(d), _pad128(dff), _pad128(T)
-    Dh_p = _pad128(d // H)
-    per_batch = (
-        18 * T * d_p * itemsize
-        + 2 * T * 3 * H * Dh_p * itemsize   # self qkv + dqkv
-        + 2 * T * dff_p * itemsize
-        + (2 * H + 2) * T * T_p * 4     # self+cross stored p + live panes
-        + 6 * H * T * Dh_p * 4          # self + cross d{q,k,v} f32 parts
-        + 3 * T * d_p                   # u8 dropout bits
-    )
+    if packed:
+        # packed group layout: unpadded full-lane qkv/grad panes; only
+        # dominant persistent panes counted (see the encoder-train twin
+        # of this estimate for the round-4 rationale — the per-head
+        # padded estimate below halved the h8 grid NB for no VMEM
+        # reason; 8,687 -> 9,299 sk/s measured from the fix)
+        HD = (d // H) * H
+        groups = max(HD // 128, 1)
+        per_batch = (
+            18 * T * d_p * itemsize
+            + 2 * T * 3 * HD * itemsize     # self qkv + dqkv (unpadded)
+            + 2 * T * dff_p * itemsize
+            + (2 * H + 2) * T * T_p * 4     # self+cross p chunks + live
+            + 6 * groups * T * 128 * 4      # self+cross d{q,k,v} panes
+            + 3 * T * d_p                   # u8 dropout bits
+        )
+    else:
+        Dh_p = _pad128(d // H)
+        per_batch = (
+            18 * T * d_p * itemsize
+            + 2 * T * 3 * H * Dh_p * itemsize   # self qkv + dqkv
+            + 2 * T * dff_p * itemsize
+            + (2 * H + 2) * T * T_p * 4     # self+cross stored p + live panes
+            + 6 * H * T * Dh_p * 4          # self + cross d{q,k,v} f32 parts
+            + 3 * T * d_p                   # u8 dropout bits
+        )
     nb = max(1, BWD_ACT_VMEM_BUDGET // max(per_batch, 1))
     while nb > 1 and B % nb:
         nb -= 1
@@ -675,7 +692,7 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
     B, T, d = x.shape
     Mq = mem.shape[1]
     dff = wl["w1"].shape[1]
-    NB = _bwd_nb(B, T, d, dff, H, x.dtype.itemsize)
+    NB = _bwd_nb(B, T, d, dff, H, x.dtype.itemsize, packed=packed)
     spec_x = _specs_x(NB, T, d)
     spec_mem = pl.BlockSpec((NB, Mq, d), lambda g: (g, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -320,17 +320,40 @@ def _pad128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-def _bwd_batches_per_cell(B, T, d, dff, H, itemsize):
+def _bwd_batches_per_cell(B, T, d, dff, H, itemsize, packed=False):
     d_p, dff_p, T_p = _pad128(d), _pad128(dff), _pad128(T)
-    Dh_p = _pad128(d // H)
-    per_batch = (
-        14 * T * d_p * itemsize         # x/g/h1/x1/h2/attn/do/dx + f32
-        + 2 * T * 3 * H * Dh_p * itemsize   # qkv + dqkv
-        + 2 * T * dff_p * itemsize      # pre1 + dpre1
-        + (H + 2) * T * T_p * 4         # stored p per head + live dp/ds
-        + 3 * H * T * Dh_p * 4          # dq/dk/dv f32 parts
-        + 2 * T * d_p                   # u8 dropout bits
-    )
+    if packed:
+        # packed group layout (pallas_packed): qkv/dqkv and the dq/dk/dv
+        # group accumulators are full-lane (M, H*Dh) / (M, 128) panes —
+        # NO per-head Dh->128 lane padding. Only the DOMINANT persistent
+        # panes are counted; the block-diagonal K̃/Ṽ expansions and their
+        # f32 gradient twins are transient per-group values the 32 MB
+        # budget's slack absorbs (v5e VMEM is 128 MB). Round 3 reused
+        # the per-head padded estimate here, which inflated 4x at Dh=32
+        # and halved the h8 grid NB (8 vs the flagship's 16) — smaller
+        # per-cell matmuls across the WHOLE layer for no VMEM reason.
+        # Measured on-chip (B=512, T=96, H=8): 8,687 -> 9,299 sk/s train
+        # from this accounting change alone (docs/PERF_TRAIN.md round 4).
+        HD = (d // H) * H
+        groups = max(HD // 128, 1)
+        per_batch = (
+            14 * T * d_p * itemsize         # x/g/h1/x1/h2/attn/do/dx + f32
+            + 2 * T * 3 * HD * itemsize     # qkv + dqkv (unpadded lanes)
+            + 2 * T * dff_p * itemsize      # pre1 + dpre1
+            + (H + 2) * T * T_p * 4         # stored p chunks + live dp/ds
+            + 3 * groups * T * 128 * 4      # dq/dk/dv f32 group panes
+            + 2 * T * d_p                   # u8 dropout bits
+        )
+    else:
+        Dh_p = _pad128(d // H)
+        per_batch = (
+            14 * T * d_p * itemsize         # x/g/h1/x1/h2/attn/do/dx + f32
+            + 2 * T * 3 * H * Dh_p * itemsize   # qkv + dqkv
+            + 2 * T * dff_p * itemsize      # pre1 + dpre1
+            + (H + 2) * T * T_p * 4         # stored p per head + live dp/ds
+            + 3 * H * T * Dh_p * 4          # dq/dk/dv f32 parts
+            + 2 * T * d_p                   # u8 dropout bits
+        )
     nb = max(1, BWD_ACT_VMEM_BUDGET // max(per_batch, 1))
     while nb > 1 and B % nb:
         nb -= 1
@@ -353,7 +376,8 @@ def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
     """One layer's backward: returns (dx, dW dict) via one pallas call."""
     B, T, d = x.shape
     dff = wl["w1"].shape[1]
-    NB = _bwd_batches_per_cell(B, T, d, dff, H, x.dtype.itemsize)
+    NB = _bwd_batches_per_cell(B, T, d, dff, H, x.dtype.itemsize,
+                               packed=packed)
     spec_x = _specs_x(NB, T, d)
     if use_mask:
         spec_bias = pl.BlockSpec((NB, 1, T), lambda g: (g, 0, 0),

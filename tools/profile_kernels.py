@@ -5,6 +5,8 @@ chunked CE head, with value-forced loops. Locates which kernel owns the
 gap between the 56 ms full step and the ~25 ms fwd+bwd roofline.
 
 Usage: python tools/profile_kernels.py [enc dec ce]
+Env overrides: SK_H (num_heads, default 2 = flagship; 8 = reference
+geometry -> packed kernels), SK_B (batch, default 512).
 """
 import os
 import sys
@@ -17,6 +19,8 @@ import jax
 import jax.numpy as jnp
 
 B, T, d, L, H, dff = 512, 96, 256, 8, 2, 512
+H = int(os.environ.get("SK_H", H))
+B = int(os.environ.get("SK_B", B))
 V = 10004
 
 
