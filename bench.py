@@ -205,16 +205,18 @@ def main() -> None:
         # ~1 ms dispatch win is gone (54.3 vs ~50.4 ms/step same-session
         # A/B — the 8x wire payload per call outweighs the saved
         # dispatches; docs/PERF_TRAIN.md round 3.5)
+        B = host_batch["enc"].shape[0]
         st = create_train_state(mdl, tx, jax.random.PRNGKey(0), host_batch)
         stp = make_train_step(mdl, tx)
         feed = device_prefetch(repeat(pack_batch(host_batch)), depth=2)
         st, m = stp(st, next(feed))  # compile
         _value(m["loss"])
+        n = max(iters * TB // B, 4)
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for _ in range(n):
             st, m = stp(st, next(feed))
         _value(m["loss"])
-        return round(TB * iters / (time.perf_counter() - t0), 1)
+        return round(B * n / (time.perf_counter() - t0), 1)
 
     batch = {
         "enc": np.asarray(enc[:TB]),
@@ -223,6 +225,20 @@ def main() -> None:
         "label": rng.integers(0, 345, TB).astype(np.int32),
     }
     extras["train_sketches_per_sec"] = timed_train(model, batch)
+
+    # --- train batch-size scaling (r4: refutes the pipelining closure) --
+    # per-sketch cost is FLAT in batch size (83.6/82.9/81.4 us at B=512/
+    # 1024/2048, tools/bench_train_b1024.py), so the 42-45 ms vs 25.4 ms
+    # gap is NOT a small-batch pipelining effect; docs/PERF_TRAIN.md r4.
+    if on_tpu:
+        enc1k = tok_batch(1024, SEQ)
+        dec1k = np.roll(enc1k, 1, axis=1)
+        dec1k[:, 0] = 1
+        batch1k = {
+            "enc": enc1k, "dec_in": dec1k, "dec_tgt": enc1k,
+            "label": rng.integers(0, 345, 1024).astype(np.int32),
+        }
+        extras["train_B1024_sketches_per_sec"] = timed_train(model, batch1k)
 
     # --- reference head geometry (num_heads=8, head_dim=32) -------------
     # SURVEY §2 specifies H≈8; the packed small-head kernels serve it
@@ -336,6 +352,37 @@ def main() -> None:
             "label": rng.integers(0, 345, TB).astype(np.int32),
         }
         extras["cont_train_sketches_per_sec"] = timed_train(modelc, batchc)
+
+    # --- product embed pipeline, end-to-end over a disk gallery ---------
+    # the headline encode number is marginal kernel cost; this is what
+    # SBIR/eval users run: shard read -> C tokenize -> pad -> wire ->
+    # device -> z fetch -> is_real filter (tools/bench_embed_pipeline.py)
+    if on_tpu:
+        try:
+            from tools.bench_embed_pipeline import measure as embed_measure
+
+            extras.update(embed_measure(verbose=False))
+        except Exception as e:  # never fail the whole bench on one extra
+            extras["embed_pipeline_error"] = f"{type(e).__name__}: {e}"
+
+    # --- realistic decode: trained model, EOS early exit ----------------
+    # decode_p50_ms above is the fixed-horizon worst case (random weights
+    # never emit EOS). This trains the flagship to EOS-competence on the
+    # synthetic gallery (params cached in /tmp) and reports the p50 a
+    # user sees on typical-length sketches, sweeping chunk K
+    # (tools/bench_decode_realistic.py; docs/PERF_DECODE.md).
+    if on_tpu:
+        try:
+            from tools.bench_decode_realistic import (
+                get_trained_flagship,
+                measure as decode_measure,
+            )
+
+            mdl_t, params_t, val_t = get_trained_flagship(verbose=False)
+            extras.update(decode_measure(mdl_t, params_t, val_t,
+                                         verbose=False))
+        except Exception as e:
+            extras["decode_realistic_error"] = f"{type(e).__name__}: {e}"
 
     extras["backend"] = jax.default_backend()
     extras["seq_len"] = SEQ

@@ -61,7 +61,7 @@ def _memory_from_z(model, params, z):
 def make_token_decoder(
     model: Sketchformer, max_len: Optional[int] = None,
     early_exit: bool = True, cache_pad: Optional[int] = None,
-    fast: bool = True,
+    fast: bool = True, steps_per_call: Optional[int] = None,
 ) -> Callable:
     """Returns jitted ``decode(params, enc) -> (B, max_len) int32 ids``.
 
@@ -95,7 +95,8 @@ def make_token_decoder(
             packed = cfg.d_model // cfg.num_heads != 128
             note_engine("decode", "fused-chunk-kernel-packed" if packed
                         else "fused-chunk-kernel")
-            return make_fast_token_decoder(model, max_len=T)
+            return make_fast_token_decoder(model, max_len=T,
+                                           steps_per_call=steps_per_call)
         note_engine("decode", "composed", why)
 
     def decode(params, enc):

@@ -150,10 +150,17 @@ def _decode_ids_from_memory(model, params, memory, B, T,
 
 def make_fast_token_decoder(
     model: Sketchformer, max_len: Optional[int] = None,
+    steps_per_call: Optional[int] = None,
 ) -> Callable:
     """Jitted ``decode(params, enc) -> (B, T) int32`` — drop-in for
     infer.decode.make_token_decoder; composed fallback for unsupported
-    configs."""
+    configs.
+
+    ``steps_per_call`` (chunk K) bounds early-exit granularity: the
+    while_loop can only stop on a K boundary, so on a TRAINED model
+    decoding typical-length sketches a smaller K exits sooner at the cost
+    of more kernel dispatches (measured trade-off in
+    docs/PERF_DECODE.md "realistic workload")."""
     cfg = model.config
     if not supports_fast_decode(model):
         from sketchformer_tpu.infer.decode import make_token_decoder
@@ -167,7 +174,8 @@ def make_fast_token_decoder(
         B = enc.shape[0]
         _, memory, _ = model.apply(
             {"params": params}, enc, method=Sketchformer.encode)
-        return _decode_ids_from_memory(model, params, memory, B, T)
+        return _decode_ids_from_memory(model, params, memory, B, T,
+                                       steps_per_call=steps_per_call)
 
     return jax.jit(decode)
 

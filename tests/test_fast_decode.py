@@ -85,6 +85,18 @@ def test_fast_decode_reference_head_geometry():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("k", [4, 8, 32])
+def test_fast_decode_steps_per_call_sweep(k):
+    """Chunk K (early-exit granularity knob, r4: exposed through
+    make_token_decoder for the realistic-decode bench) must not change
+    the decoded ids — only when the while_loop can stop."""
+    model, params, enc = _tok_model()
+    ref = np.asarray(dec.make_token_decoder(model, fast=False)(params, enc))
+    got = np.asarray(
+        dec.make_token_decoder(model, steps_per_call=k)(params, enc))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_fast_decode_chunk_not_dividing_T():
     """max_len not a multiple of steps_per_call: horizon padding + trim."""
     model, params, enc = _tok_model(seed=5, max_len=21)
