@@ -52,6 +52,9 @@ def setup():
 
 
 def main(which):
+    from sketchformer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # slow-worker links: ~100 s/program compile
     jax.config.update("jax_default_prng_impl", "rbg")
     cfg, model, params, x, rng = setup()
     drng = jax.random.PRNGKey(1)
