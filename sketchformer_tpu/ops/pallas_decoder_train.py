@@ -25,6 +25,7 @@ Gradient parity is pinned by tests/test_pallas_decoder_train.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -52,12 +53,15 @@ from sketchformer_tpu.ops.pallas_encoder_train import (
     _specs_x,
 )
 
-FWD_ACT_VMEM_BUDGET = 6 * 1024 * 1024
+FWD_ACT_VMEM_BUDGET = int(
+    os.environ.get("SK_DEC_FWD_VMEM_MB", "6")) * 1024 * 1024
 # Tuned on v5e: flagship (d256/H2, B=512/T=96) lands on NB=16 under the
 # raised 64MB scoped-vmem limit — full train step 59.9 -> 58.2ms
 # (8,803 sk/s); NB=8 was the 19MB result, NB=4 the 12MB one (grid cells
 # too small). Estimate is lane-padding-aware (see encoder twin).
-BWD_ACT_VMEM_BUDGET = 40 * 1024 * 1024
+# SK_DEC_BWD_VMEM_MB overrides for on-chip budget sweeps.
+BWD_ACT_VMEM_BUDGET = int(
+    os.environ.get("SK_DEC_BWD_VMEM_MB", "40")) * 1024 * 1024
 
 _DWKEYS = (
     "ln1s", "ln1b", "s_wqkv", "s_bqkv", "s_qns", "s_qnb", "s_kns", "s_knb",
@@ -608,6 +612,10 @@ def _bwd_nb(B, T, d, dff, H, itemsize, packed=False):
             + 3 * T * d_p                   # u8 dropout bits
         )
     nb = max(1, BWD_ACT_VMEM_BUDGET // max(per_batch, 1))
+    if packed:
+        # packed-bwd NB cap — see the encoder twin for the measured
+        # isolated-vs-full-step story (full step prefers 16)
+        nb = min(nb, int(os.environ.get("SK_PACKED_BWD_NB", "16")))
     while nb > 1 and B % nb:
         nb -= 1
     return nb
@@ -728,7 +736,8 @@ def _dec_layer_bwd(x, mem, g, sbias, cbias, drop, wl, *, H, Dh, scale,
         out_shape=out_shape,
         interpret=_use_interpret(),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=max(64 * 1024 * 1024,
+                                 2 * BWD_ACT_VMEM_BUDGET)),
     )(x, mem, g, sbias, cbias, drop, *warg)
     dx, dmem = res[0], res[1]
     return dx, dmem, {k: v for k, v in zip(_DWKEYS, res[2:])}

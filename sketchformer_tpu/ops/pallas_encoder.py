@@ -34,6 +34,7 @@ tests/test_pallas_encoder.py against the composed flax path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -50,7 +51,8 @@ LN_EPS = 1e-6  # flax nn.LayerNorm default
 # Activation VMEM budget per grid cell (bytes), on top of the resident
 # stacked weights. Tuned on v5e (sweep 1/2/4/6/8 MB at T=96/192, B=2048:
 # 6 MB best — T96 157.7k sk/s, T192 73.6k; 8 MB flat-to-worse, 2 MB -17%).
-ACT_VMEM_BUDGET = 6 * 1024 * 1024
+ACT_VMEM_BUDGET = int(
+    os.environ.get("SK_ENC_FWD_VMEM_MB", "6")) * 1024 * 1024
 MAX_FUSED_LEN = 1024
 
 

@@ -34,6 +34,7 @@ tests/test_pallas_encoder_train.py (f32, CPU interpret).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -56,8 +57,10 @@ from sketchformer_tpu.ops.pallas_encoder import (
 # NB=16 (measured best; NB=8 +0.5ms/step, NB=2 was 1.5x SLOWER than
 # composed — grid-cell matmuls too small). The estimate is lane-padding-
 # aware, so small-head_dim configs self-select smaller NB and stay under
-# the 32MB scoped-vmem limit.
-BWD_ACT_VMEM_BUDGET = 32 * 1024 * 1024
+# the 32MB scoped-vmem limit. SK_ENC_BWD_VMEM_MB overrides for on-chip
+# budget sweeps (tools/ab_packed_softmax.py --vmem; read at import).
+BWD_ACT_VMEM_BUDGET = int(
+    os.environ.get("SK_ENC_BWD_VMEM_MB", "32")) * 1024 * 1024
 
 _WKEYS = ("ln1s", "ln1b", "wqkv", "bqkv", "qns", "qnb", "kns", "knb",
           "wo", "bo", "ln2s", "ln2b", "w1", "b1", "w2", "b2")
@@ -355,6 +358,15 @@ def _bwd_batches_per_cell(B, T, d, dff, H, itemsize, packed=False):
             + 2 * T * d_p                   # u8 dropout bits
         )
     nb = max(1, BWD_ACT_VMEM_BUDGET // max(per_batch, 1))
+    if packed:
+        # Measured on-chip (B=512, T=96, H=8, round 4): ISOLATED enc
+        # fwd+bwd prefers NB=8 (23.78 vs 25.85 ms at 16; 4: 25.30, 32:
+        # 24.56) but the FULL train step prefers NB=16 (9,213 sk/s vs
+        # 9,093 at NB=8; 32 ties 16) — at NB=8 the doubled grid-cell
+        # count loses more step-level overlap with the CE head and
+        # optimizer than the per-kernel win saves. Full step is ground
+        # truth; cap at 16. SK_PACKED_BWD_NB overrides for sweeps.
+        nb = min(nb, int(os.environ.get("SK_PACKED_BWD_NB", "16")))
     while nb > 1 and B % nb:
         nb -= 1
     return nb
@@ -409,7 +421,8 @@ def _layer_bwd(x, g, bias, drop, wl, *, H, Dh, scale, use_mask, qk_norm,
         compiler_params=pltpu.CompilerParams(
             # the f32 dW panes + large-NB recompute panes legitimately
             # exceed the 16MB default scoped-vmem limit; v5e has more
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=max(64 * 1024 * 1024,
+                                 2 * BWD_ACT_VMEM_BUDGET)),
     )(x, g, bias, drop, *warg)
     dx = res[0]
     dwl = {k: v for k, v in zip(_WKEYS, res[1:])}

@@ -43,11 +43,29 @@ pin the Dh=128 kernels, parameterized over num_heads.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 LN_EPS = 1e-6
 NEG_INF = -1e9
+
+# Softmax/ds strategy for the TRAIN (save=True) packed path, read at trace
+# time. "seg4d": one segmented op stream over the 4D (NB, hpp, Tk, Tq)
+# view (measured best, see docs/PERF_TRAIN.md round 4). "chunk": round-3
+# per-chunk python loop. "mxu": segmented sums via indicator matmuls
+# (offloads the VPU reduce passes to the MXU). "ablate": timing probe
+# ONLY — replaces softmax/ds math with a scalar scale (wrong values).
+_TRAIN_SOFTMAX = os.environ.get("SK_PACKED_SOFTMAX", "seg4d")
+
+# Timing-only component ablations for the packed TRAIN path (comma list;
+# values become WRONG — never set outside tools/ probes). Members:
+# "qknorm" (ln_blocks_* -> scalar affine), "blockdiag" (expand/collapse
+# -> unmasked tile/slice). Used with _TRAIN_SOFTMAX="ablate" to build the
+# h8-train component ladder (docs/PERF_TRAIN.md round 4).
+_ABLATE = frozenset(
+    s for s in os.environ.get("SK_PACKED_ABLATE", "").split(",") if s)
 
 
 def packed_supported(d_model: int, num_heads: int) -> bool:
@@ -97,6 +115,8 @@ def expand_blockdiag(a: jnp.ndarray, dh: int) -> jnp.ndarray:
     """(NB, Tk, 128) -> block-diagonal (NB, hpp*Tk, 128): chunk h is ``a``
     with every lane outside head-block h zeroed."""
     hpp = 128 // dh
+    if "blockdiag" in _ABLATE:   # timing probe: tile without masking
+        return jnp.concatenate([a] * hpp, axis=1)
     lane = _lane_iota()
     blk = lane // dh
     return jnp.concatenate(
@@ -107,6 +127,8 @@ def collapse_blockdiag(a: jnp.ndarray, dh: int, tk: int) -> jnp.ndarray:
     """Adjoint of expand_blockdiag: (NB, hpp*Tk, 128) -> (NB, Tk, 128),
     keeping chunk h's head-block-h lanes."""
     hpp = 128 // dh
+    if "blockdiag" in _ABLATE:   # timing probe: first chunk, unmasked
+        return a[:, :tk, :]
     lane = _lane_iota()
     blk = lane // dh
     out = None
@@ -145,17 +167,7 @@ def group_attn_fwd(q, k, v, *, dh, scale, dt, bias=None, causal=None,
         kt = expand_blockdiag(k, dh)
         vt = expand_blockdiag(v, dh)
         s = _bdot(kt, q, _C22) * scale        # (NB, hpp*Tk, Tq) f32
-        chunks = []
-        for h in range(hpp):
-            sh = s[:, h * tk:(h + 1) * tk, :]
-            if causal is not None:
-                sh = sh + jnp.swapaxes(causal, 1, 2)
-            if bias is not None:
-                sh = sh + jnp.swapaxes(bias, 1, 2)
-            m = jnp.max(sh, axis=1, keepdims=True)
-            e = jnp.exp(sh - m)
-            chunks.append(e / jnp.sum(e, axis=1, keepdims=True))
-        p = jnp.concatenate(chunks, axis=1)   # (NB, hpp*Tk, Tq) f32
+        p = _seg_softmax(s, hpp, tk, causal=causal, bias=bias)
         o = _bdot(p.astype(dt), vt, _C11)     # (NB, Tq, 128) f32
         return o, (kt, vt, p)
 
@@ -195,6 +207,89 @@ def group_attn_fwd(q, k, v, *, dh, scale, dt, bias=None, causal=None,
     return o * rtile
 
 
+def _seg_matrix(hpp: int, tk: int) -> jnp.ndarray:
+    """(hpp, hpp*tk) f32 chunk indicator: seg[c, s] = 1 iff sublane s
+    belongs to chunk c. Pure iota math — Mosaic constant-folds it."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (hpp, hpp * tk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hpp, hpp * tk), 1)
+    return (col // tk == row).astype(jnp.float32)
+
+
+def _seg_matrix_t(hpp: int, tk: int) -> jnp.ndarray:
+    """(hpp*tk, hpp) transpose of _seg_matrix (built directly: no
+    in-kernel transposes)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (hpp * tk, hpp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hpp * tk, hpp), 1)
+    return (row // tk == col).astype(jnp.float32)
+
+
+def _seg_softmax(s, hpp, tk, *, causal=None, bias=None):
+    """Per-chunk softmax over the SUBLANE axis of the stacked
+    (NB, hpp*Tk, Tq) score pane (chunk c = head c's (Tk, Tq) scores).
+    Strategy per _TRAIN_SOFTMAX; all variants are value-identical except
+    'ablate' (a VPU-cost timing probe)."""
+    NB, K, Tq = s.shape
+    if _TRAIN_SOFTMAX == "ablate":
+        return s * 0.01
+    if _TRAIN_SOFTMAX == "chunk":
+        chunks = []
+        for h in range(hpp):
+            sh = s[:, h * tk:(h + 1) * tk, :]
+            if causal is not None:
+                sh = sh + jnp.swapaxes(causal, 1, 2)
+            if bias is not None:
+                sh = sh + jnp.swapaxes(bias, 1, 2)
+            m = jnp.max(sh, axis=1, keepdims=True)
+            e = jnp.exp(sh - m)
+            chunks.append(e / jnp.sum(e, axis=1, keepdims=True))
+        return jnp.concatenate(chunks, axis=1)
+    # segmented variants: one op stream over the (NB, hpp, tk, Tq) view
+    # (tk % 8 == 0, so the sublane split is tile-aligned)
+    s4 = s.reshape(NB, hpp, tk, Tq)
+    if causal is not None:
+        s4 = s4 + jnp.swapaxes(causal, 1, 2)[:, None]
+    if bias is not None:
+        s4 = s4 + jnp.swapaxes(bias, 1, 2)[:, None]
+    m = jnp.max(s4, axis=2, keepdims=True)    # (NB, hpp, 1, Tq)
+    e4 = jnp.exp(s4 - m)
+    if _TRAIN_SOFTMAX == "seg4d":
+        p4 = e4 * (1.0 / jnp.sum(e4, axis=2, keepdims=True))
+        return p4.reshape(NB, K, Tq)
+    # "mxu": per-chunk sums + reciprocal broadcast via indicator matmuls
+    e = e4.reshape(NB, K, Tq)
+    segb = jnp.broadcast_to(_seg_matrix(hpp, tk), (NB, hpp, K))
+    rec = 1.0 / _bdot(segb, e, _C21)          # (NB, hpp, Tq)
+    segtb = jnp.broadcast_to(_seg_matrix_t(hpp, tk), (NB, K, hpp))
+    return e * _bdot(segtb, rec, _C21)        # (NB, K, Tq)
+
+
+def _seg_ds(p, dp, hpp, tk):
+    """Softmax backward ds = p * (dp - <dp, p>_chunk), segmented like
+    _seg_softmax (variants value-identical except 'ablate')."""
+    NB, K, Tq = p.shape
+    if _TRAIN_SOFTMAX == "ablate":
+        return dp * 0.01
+    if _TRAIN_SOFTMAX == "chunk":
+        out = []
+        for h in range(hpp):
+            ph = p[:, h * tk:(h + 1) * tk, :]
+            dph = dp[:, h * tk:(h + 1) * tk, :]
+            out.append(
+                ph * (dph - jnp.sum(dph * ph, axis=1, keepdims=True)))
+        return jnp.concatenate(out, axis=1)
+    if _TRAIN_SOFTMAX == "seg4d":
+        p4 = p.reshape(NB, hpp, tk, Tq)
+        dp4 = dp.reshape(NB, hpp, tk, Tq)
+        inner = jnp.sum(dp4 * p4, axis=2, keepdims=True)
+        return (p4 * (dp4 - inner)).reshape(NB, K, Tq)
+    # "mxu"
+    t = dp * p
+    segb = jnp.broadcast_to(_seg_matrix(hpp, tk), (NB, hpp, K))
+    inner = _bdot(segb, t, _C21)              # (NB, hpp, Tq)
+    segtb = jnp.broadcast_to(_seg_matrix_t(hpp, tk), (NB, K, hpp))
+    return p * (dp - _bdot(segtb, inner, _C21))
+
+
 def group_attn_bwd(do, q, kt, vt, p, *, dh, scale, dt):
     """Backward for group_attn_fwd. ``do``: (NB, Tq, 128) f32 upstream.
     Returns (dq, dk, dv) as (NB, Tq, 128) / (NB, Tk, 128) f32 panes
@@ -202,13 +297,7 @@ def group_attn_bwd(do, q, kt, vt, p, *, dh, scale, dt):
     hpp = 128 // dh
     tk = kt.shape[1] // hpp
     dp = _bdot(vt, do.astype(dt), _C22)       # (NB, hpp*Tk, Tq) f32
-    ds_chunks = []
-    for h in range(hpp):
-        ph = p[:, h * tk:(h + 1) * tk, :]
-        dph = dp[:, h * tk:(h + 1) * tk, :]
-        ds_chunks.append(
-            ph * (dph - jnp.sum(dph * ph, axis=1, keepdims=True)))
-    ds = jnp.concatenate(ds_chunks, axis=1) * scale
+    ds = _seg_ds(p, dp, hpp, tk) * scale
     ds_lp = ds.astype(dt)
     dq = _bdot(ds_lp, kt, _C11)               # (NB, Tq, 128) f32
     dkt = _bdot(ds_lp, q.astype(dt), _C21)    # (NB, hpp*Tk, 128) f32
@@ -218,18 +307,46 @@ def group_attn_bwd(do, q, kt, vt, p, *, dh, scale, dt):
     return dq, dk, dv
 
 
+# Block-LN lowering strategy. "square": ONE (M,128)x(128,128) block-mean
+# matmul per reduction — the MXU-native tile, no thin panes. "thin": the
+# round-3 pair of indicator dots (M,128)x(128,hpp) then (M,hpp)x(hpp,128),
+# whose (M, hpp<=4) intermediates force pathological Mosaic relayouts —
+# the round-4 ablation ladder measured the thin form costing 7.4 ms (enc)
+# / 6.0 ms (dec) of the isolated h8 fwd+bwd (docs/PERF_TRAIN.md round 4).
+_BLOCKLN = os.environ.get("SK_PACKED_BLOCKLN", "square")
+
+
+def _blockmean_mat(dh: int) -> jnp.ndarray:
+    """(128, 128) f32 block-mean operator: Bm[i, j] = 1/dh iff lanes i, j
+    share a dh-lane head block. Pure iota math — constant-folded."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return ((i // dh) == (j // dh)).astype(jnp.float32) / dh
+
+
+_CLANE = (((1,), (0,)), ((), ()))     # (M, 128) x (128, N) plain dot
+
+
+def _blockmean(a32, dh, shp):
+    """Segmented mean over each dh-lane block, broadcast back to lanes."""
+    flat = a32.reshape(-1, 128)
+    if _BLOCKLN == "square":
+        return _bdot(flat, _blockmean_mat(dh), _CLANE).reshape(shp)
+    ind = _indicator(dh)
+    mb = _bdot(flat, ind / dh, _CLANE)            # (M, hpp)
+    return _bdot(mb, ind, (((1,), (1,)), ((), ()))).reshape(shp)
+
+
 def ln_blocks_fwd32(x, scale_t, bias_t, dh):
     """Segmented LayerNorm over each dh-lane head block of a (..., 128)
     f32 pane. ``scale_t`` / ``bias_t`` are (1, 128) pre-tiled rows
     (tile_heads). Returns (y32, xhat, rstd) with xhat/rstd full panes."""
-    ind = _indicator(dh)
     x32 = x.astype(jnp.float32)
+    if "qknorm" in _ABLATE:      # timing probe: scalar affine stand-in
+        return x32 * scale_t + bias_t, x32, x32
     shp = x32.shape
-    flat = x32.reshape(-1, 128)
-    mu_b = _bdot(flat, ind / dh, (((1,), (0,)), ((), ())))   # (M, hpp)
-    mu = _bdot(mu_b, ind, (((1,), (1,)), ((), ()))).reshape(shp)
-    var_b = _bdot(flat * flat, ind / dh, (((1,), (0,)), ((), ())))
-    var = _bdot(var_b, ind, (((1,), (1,)), ((), ()))).reshape(shp)
+    mu = _blockmean(x32, dh, shp)
+    var = _blockmean(x32 * x32, dh, shp)
     var = jnp.maximum(var - mu * mu, 0.0)
     rstd = jax.lax.rsqrt(var + LN_EPS)
     xhat = (x32 - mu) * rstd
@@ -240,17 +357,15 @@ def ln_blocks_bwd32(dy32, xhat, rstd, scale_t, dh):
     """Backward of ln_blocks_fwd32. Returns (dx32, dscale_row, dbias_row)
     with the param grads as (1, 128) TILED rows — the VJP wrapper reduces
     tiles to (Dh,) via untile_heads."""
-    ind = _indicator(dh)
+    if "qknorm" in _ABLATE:      # timing probe: scalar affine stand-in
+        red0 = tuple(range(dy32.ndim - 1))
+        return (dy32 * scale_t,
+                jnp.sum(dy32 * xhat, axis=red0)[None, :],
+                jnp.sum(dy32, axis=red0)[None, :])
     shp = dy32.shape
     dxhat = dy32 * scale_t
-
-    def blockmean(a):
-        flat = a.reshape(-1, 128)
-        mb = _bdot(flat, ind / dh, (((1,), (0,)), ((), ())))
-        return _bdot(mb, ind, (((1,), (1,)), ((), ()))).reshape(shp)
-
-    m1 = blockmean(dxhat)
-    m2 = blockmean(dxhat * xhat)
+    m1 = _blockmean(dxhat, dh, shp)
+    m2 = _blockmean(dxhat * xhat, dh, shp)
     dx = rstd * (dxhat - m1 - xhat * m2)
     red = tuple(range(dy32.ndim - 1))
     ds = jnp.sum(dy32 * xhat, axis=red)[None, :]

@@ -200,3 +200,26 @@ def test_train_stack_packed_small_heads(qk_norm):
         np.testing.assert_allclose(
             np.asarray(got_map[key]), np.asarray(leaf),
             rtol=1e-3, atol=1e-4, err_msg=key)
+
+
+def test_packed_softmax_variants_agree(monkeypatch):
+    """The SK_PACKED_SOFTMAX strategies (chunk / seg4d / mxu) are pure
+    scheduling choices — fwd values, input grads, and weight grads must
+    agree to f32 rounding (round-4 packed-bwd VPU work)."""
+    from sketchformer_tpu.ops import pallas_packed as pk
+
+    enc, params, x, km = _setup(T=16, d=128, H=8, dff=64, qk_norm=True)
+
+    def run(variant):
+        monkeypatch.setattr(pk, "_TRAIN_SOFTMAX", variant)
+        return jax.value_and_grad(
+            lambda p, xx: _loss_fused(enc, p, xx, km),
+            argnums=(0, 1))(params, x)
+
+    base_v, base_g = run("chunk")
+    for variant in ("seg4d", "mxu"):
+        v, g = run(variant)
+        np.testing.assert_allclose(float(v), float(base_v), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(base_g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

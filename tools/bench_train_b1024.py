@@ -7,7 +7,10 @@ substantiates or refutes that: per-sketch cost at B=1024/B=2048 must drop
 toward the bound if pipelining is the cause.
 
 Run on the chip: python tools/bench_train_b1024.py
+Env: SK_H (num_heads; 8 = reference geometry -> packed kernels),
+SK_BATCHES (comma list, default 512,1024,2048).
 """
+import os
 import time
 from itertools import repeat
 
@@ -31,7 +34,8 @@ def main():
     SEQ = 96
     cfg = SketchformerConfig(
         vocab_size=10004, num_classes=345, max_len=SEQ, d_model=256,
-        num_layers=8, num_heads=2, dff=512, dropout=0.1, lowerdim=256,
+        num_layers=8, num_heads=int(os.environ.get("SK_H", "2")),
+        dff=512, dropout=0.1, lowerdim=256,
         dtype="bfloat16", attn_impl="pallas")
     model = Sketchformer(cfg)
     rng = np.random.default_rng(0)
@@ -43,7 +47,9 @@ def main():
         ids[:, -9] = 2
         return ids
 
-    for TB in (512, 1024, 2048):
+    batches = tuple(int(b) for b in os.environ.get(
+        "SK_BATCHES", "512,1024,2048").split(","))
+    for TB in batches:
         enc = tok_batch(TB)
         batch = {
             "enc": enc,

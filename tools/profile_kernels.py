@@ -22,6 +22,9 @@ B, T, d, L, H, dff = 512, 96, 256, 8, 2, 512
 H = int(os.environ.get("SK_H", H))
 B = int(os.environ.get("SK_B", B))
 V = 10004
+# BENCH h8 runs qk_norm=False (SketchformerConfig default) — probe
+# the same config by default; SK_QKNORM=1 probes the stability option
+QKN = os.environ.get("SK_QKNORM", "0") == "1"
 
 
 def timeit(f, *args, iters=20):
@@ -40,7 +43,7 @@ def setup():
     cfg = SketchformerConfig(
         vocab_size=V, num_classes=345, max_len=T, d_model=d,
         num_layers=L, num_heads=H, dff=dff, dropout=0.1, lowerdim=256,
-        dtype="bfloat16", attn_impl="pallas", qk_norm=True)
+        dtype="bfloat16", attn_impl="pallas", qk_norm=QKN)
     model = Sketchformer(cfg)
     rng = np.random.default_rng(0)
     ids = rng.integers(4, V, size=(8, T)).astype(np.int32)
@@ -70,7 +73,7 @@ def main(which):
 
         def enc_fwd(x):
             y = fused_encoder_stack_train(
-                x, None, w, num_heads=H, qk_norm=True, dropout_rate=0.1,
+                x, None, w, num_heads=H, qk_norm=QKN, dropout_rate=0.1,
                 dropout_rng=drng)
             return y.astype(jnp.float32).sum()
 
@@ -94,7 +97,7 @@ def main(which):
 
         def dec_fwd(x, mem):
             y = fused_decoder_stack_train(
-                x, mem, None, None, wd, num_heads=H, qk_norm=True,
+                x, mem, None, None, wd, num_heads=H, qk_norm=QKN,
                 dropout_rate=0.1, dropout_rng=drng)
             return y.astype(jnp.float32).sum()
 
