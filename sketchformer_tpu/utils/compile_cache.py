@@ -85,15 +85,51 @@ def default_cache_dir() -> str:
 
 
 def _cpu_only_platform() -> bool:
-    """True when jax has been explicitly retargeted to the CPU backend
-    (tests / multichip dryrun), judged WITHOUT initializing the backend."""
+    """True when this process will run on the XLA:CPU backend — either
+    explicitly retargeted (tests / multichip dryrun; judged WITHOUT
+    initializing the backend) or, with JAX_PLATFORMS unset, because no
+    accelerator resolves and the default backend falls back to cpu
+    (ADVICE r4: a TPU-less host must stand down the same way)."""
     try:
         import jax
 
         plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
     except ImportError:
         return False
-    return {p.strip() for p in plats.split(",") if p.strip()} == {"cpu"}
+    names = {p.strip() for p in plats.split(",") if p.strip()}
+    if names:
+        return names == {"cpu"}
+    # No explicit retarget: resolve the default backend. This initializes
+    # it — acceptable for our callers (bench/CLI/entry), which touch the
+    # backend immediately afterwards anyway; the cache config itself is
+    # consulted at compile time, so setting it post-init is fine.
+    try:
+        return jax.default_backend() == "cpu"
+    except RuntimeError:
+        return True  # no backend at all: nothing worth caching
+
+
+def _backfill_atime_sidecars(cache_dir: str) -> None:
+    """Entries written before eviction was enabled have no ``-atime``
+    sidecar; jax's LRU sweep (``jax/_src/lru_cache.py``) reads every
+    entry's sidecar on each put and a single missing one makes ALL
+    subsequent cache writes fail with a FileNotFoundError warning
+    (observed: a round-4 dir broke every round-5 write). Backfill any
+    missing sidecars, stamped now — eviction order among legacy entries
+    is arbitrary but every future put works."""
+    import time
+
+    stamp = time.time_ns().to_bytes(8, "little")
+    try:
+        for name in os.listdir(cache_dir):
+            if not name.endswith("-cache"):
+                continue
+            atime = os.path.join(cache_dir, name[: -len("-cache")] + "-atime")
+            if not os.path.exists(atime):
+                with open(atime, "wb") as f:
+                    f.write(stamp)
+    except OSError:
+        pass  # unreadable dir: the put-path warning will surface it
 
 
 def enable_persistent_cache(
@@ -121,6 +157,10 @@ def enable_persistent_cache(
         # compiles add up across bench's dozens of programs
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # bound the directory (LRU eviction): one worker's dir measured
+        # 4.5 GB unbounded across rounds (VERDICT r4 item 7)
+        jax.config.update("jax_compilation_cache_max_size", 2 * 1024**3)
+        _backfill_atime_sidecars(cache_dir)
     except (OSError, AttributeError, ValueError, KeyError) as e:
         # OSError: unwritable dir; the rest: config-name drift across jax
         # versions. Warn so a typo/regression is visible, then stand down.

@@ -15,6 +15,22 @@ import pytest
 from sketchformer_tpu.utils import compile_cache as cc
 
 
+@pytest.fixture(autouse=True)
+def _restore_cache_config():
+    """enable_persistent_cache mutates global jax config; leaving it
+    pointed at a real multi-thousand-entry dir makes every subsequent
+    test compile pay an O(entries) LRU eviction scan per cache put
+    (measured: the whole suite went 210 s -> timeout once max_size
+    eviction landed). Restore the pre-test state."""
+    import jax
+
+    keys = ("jax_compilation_cache_dir", "jax_compilation_cache_max_size")
+    saved = {k: getattr(jax.config, k) for k in keys}
+    yield
+    for k, v in saved.items():
+        jax.config.update(k, v)
+
+
 def test_default_dir_is_fingerprinted_and_per_user():
     d = cc.default_cache_dir()
     fp = cc._cpu_feature_fingerprint()
@@ -53,14 +69,18 @@ def test_unwritable_dir_warns_and_disables(tmp_path, monkeypatch):
             str(blocked / "sub"), allow_cpu=True) is None
 
 
-def test_cpu_backend_stands_down():
+def test_cpu_backend_stands_down(tmp_path):
     """Round-4 policy: the test suite runs cpu-only (conftest), so the
     cache must refuse by default — XLA:CPU AOT reloads warn SIGILL even
     same-machine (compile-time LLVM tuning pseudo-features are absent
     from the load-time host probe)."""
     assert cc._cpu_only_platform()  # conftest retargeted us to cpu
     assert cc.enable_persistent_cache() is None
-    assert cc.enable_persistent_cache(allow_cpu=True) is not None
+    # allow_cpu overrides; point at a tmp dir so the real fingerprinted
+    # dir (thousands of entries on a warm worker) is never activated
+    # inside the test process
+    assert cc.enable_persistent_cache(
+        str(tmp_path / "cc"), allow_cpu=True) is not None
 
 
 def test_entry_module_has_no_import_time_jax_config(monkeypatch):
