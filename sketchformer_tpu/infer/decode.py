@@ -99,6 +99,14 @@ def make_token_decoder(
                                            steps_per_call=steps_per_call)
         note_engine("decode", "composed", why)
 
+    if steps_per_call is not None:
+        import warnings
+
+        warnings.warn(
+            "steps_per_call applies only to the fused decode kernel; the "
+            "composed path already early-exits per step, so the knob has "
+            "no effect here", stacklevel=2)
+
     def decode(params, enc):
         B = enc.shape[0]
         _, memory, memory_mask = model.apply(

@@ -165,7 +165,14 @@ def make_fast_token_decoder(
     if not supports_fast_decode(model):
         from sketchformer_tpu.infer.decode import make_token_decoder
 
-        return make_token_decoder(model, max_len=max_len)
+        if steps_per_call is not None:
+            import warnings
+
+            warnings.warn(
+                "steps_per_call has no effect on the composed decode "
+                "fallback (config unsupported by the fused kernel); "
+                "early exit there is per-step already", stacklevel=2)
+        return make_token_decoder(model, max_len=max_len, fast=False)
     T = max_len or cfg.max_len
     if T > cfg.max_len:
         raise ValueError(f"max_len {T} exceeds model max_len {cfg.max_len}")

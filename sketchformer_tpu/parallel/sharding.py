@@ -153,6 +153,23 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh,
                     f"host-identical batch axis {n} not divisible by "
                     f"process_count={pc}")
             step_n = n // pc
+            # Guard the process-contiguity assumption (ADVICE r4): the
+            # rows this process contributes must be exactly the rows the
+            # sharding assigns to its addressable devices. make_mesh over
+            # jax.devices() satisfies this; a caller-supplied device
+            # order might not, and a silent permutation would assemble a
+            # wrong global batch.
+            local = [ix[axis]
+                     for d, ix in s.devices_indices_map(v.shape).items()
+                     if d.process_index == pi]
+            lo = min(sl.start or 0 for sl in local)
+            hi = max(n if sl.stop is None else sl.stop for sl in local)
+            if (lo, hi) != (pi * step_n, (pi + 1) * step_n):
+                raise ValueError(
+                    "host_identical slicing requires the mesh data axis "
+                    "to be process-contiguous in process-index order: "
+                    f"process {pi} owns rows [{lo}, {hi}) but would "
+                    f"contribute [{pi * step_n}, {(pi + 1) * step_n})")
             idx = [slice(None)] * v.ndim
             idx[axis] = slice(pi * step_n, (pi + 1) * step_n)
             v = v[tuple(idx)]

@@ -252,7 +252,20 @@ def _run_training(
         if jax.process_count() > 1:
             import numpy as np
 
-            params = jax.tree.map(np.asarray, params)
+            def _host_copy(x):
+                # fully-replicated leaves read out directly; TP-sharded
+                # leaves span non-addressable devices and must be
+                # replicated first (ADVICE r4) — an identity jit with a
+                # replicated out-sharding is the all-gather
+                if getattr(x, "is_fully_replicated", True):
+                    return np.asarray(x)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(x.sharding.mesh, PartitionSpec())
+                return np.asarray(
+                    jax.jit(lambda a: a, out_shardings=rep)(x))
+
+            params = jax.tree.map(_host_copy, params)
         metric_ctx.params = params
         metric_ctx.step = step
         for m in registered:
