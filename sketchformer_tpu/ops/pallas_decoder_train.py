@@ -311,12 +311,12 @@ def _dec_layer_bwd_kernel(
             else:
                 q, k = q0, k0
                 qxh = qrs = kxh = krs = None
-            o, (kt, vt, p) = pk.group_attn_fwd(
+            o, res = pk.group_attn_fwd(
                 q, k, v, dh=Dh, scale=scale, dt=dt,
                 bias=sbias_ref[:] if use_smask else None,
                 causal=causal, save=True)
             souts.append(o.astype(dt))
-            sheads.append((q, kt, vt, p, qxh, qrs, kxh, krs))
+            sheads.append((q, res, qxh, qrs, kxh, krs))
     for hh in range(H if not packed else 0):
         q0 = qkv[:, :, hh * Dh:(hh + 1) * Dh]
         k0 = qkv[:, :, HD + hh * Dh:HD + (hh + 1) * Dh]
@@ -368,10 +368,10 @@ def _dec_layer_bwd_kernel(
                 qxh = qrs = kxh = krs = None
             kp, vp, bp = pk.pad_kv_rows(
                 k, v, cbias_ref[:] if use_cmask else None, mq8)
-            o, (kt, vt, p) = pk.group_attn_fwd(
+            o, res = pk.group_attn_fwd(
                 q, kp, vp, dh=Dh, scale=scale, dt=dt, bias=bp, save=True)
             couts.append(o.astype(dt))
-            cheads.append((q, kt, vt, p, qxh, qrs, kxh, krs))
+            cheads.append((q, res, qxh, qrs, kxh, krs))
     for hh in range(H if not packed else 0):
         q0 = cq[:, :, hh * Dh:(hh + 1) * Dh]
         k0 = ckv[:, :, hh * Dh:(hh + 1) * Dh]
@@ -430,10 +430,10 @@ def _dec_layer_bwd_kernel(
     if packed:
         mq8 = ((Mq + 7) // 8) * 8
         for gg in range(HD // 128):
-            q, kt, vt, p, qxh, qrs, kxh, krs = cheads[gg]
+            q, res_g, qxh, qrs, kxh, krs = cheads[gg]
             do_g = do3[:, :, gg * 128:(gg + 1) * 128]
             dq, dk, dv = pk.group_attn_bwd(
-                do_g, q, kt, vt, p, dh=Dh, scale=scale, dt=dt)
+                do_g, q, res_g, dh=Dh, scale=scale, dt=dt)
             dk = dk[:, :Mq, :]           # drop cross-memory pad rows
             dv = dv[:, :Mq, :]
             if qk_norm:
@@ -504,10 +504,10 @@ def _dec_layer_bwd_kernel(
     dsqns = dsqnb = dskns = dsknb = None
     if packed:
         for gg in range(HD // 128):
-            q, kt, vt, p, qxh, qrs, kxh, krs = sheads[gg]
+            q, res_g, qxh, qrs, kxh, krs = sheads[gg]
             do_g = do3[:, :, gg * 128:(gg + 1) * 128]
             dq, dk, dv = pk.group_attn_bwd(
-                do_g, q, kt, vt, p, dh=Dh, scale=scale, dt=dt)
+                do_g, q, res_g, dh=Dh, scale=scale, dt=dt)
             if qk_norm:
                 dq, a, b = pk.ln_blocks_bwd32(
                     dq, qxh, qrs, sqns_ref[0:1, :], Dh)

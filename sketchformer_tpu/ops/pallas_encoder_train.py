@@ -166,11 +166,11 @@ def _layer_bwd_kernel(
             else:
                 q, k = q0, k0
                 qxh = qrs = kxh = krs = None
-            o, (kt, vt, p) = pk.group_attn_fwd(
+            o, res = pk.group_attn_fwd(
                 q, k, v, dh=Dh, scale=scale, dt=dt,
                 bias=kbias if use_mask else None, save=True)
             outs.append(o.astype(dt))
-            groups.append((q, kt, vt, p, qxh, qrs, kxh, krs))
+            groups.append((q, res, qxh, qrs, kxh, krs))
     else:
         heads = []   # per-head saved (q, k, v, p, [qk-norm residuals])
         outs = []
@@ -242,10 +242,10 @@ def _layer_bwd_kernel(
     dqns = dqnb = dkns = dknb = None
     if packed:
         for gg in range(HD // 128):
-            q, kt, vt, p, qxh, qrs, kxh, krs = groups[gg]
+            q, res_g, qxh, qrs, kxh, krs = groups[gg]
             do_g = do3[:, :, gg * 128:(gg + 1) * 128]
             dq, dk, dv = pk.group_attn_bwd(
-                do_g, q, kt, vt, p, dh=Dh, scale=scale, dt=dt)
+                do_g, q, res_g, dh=Dh, scale=scale, dt=dt)
             if qk_norm:
                 dq, dqs, dqb = pk.ln_blocks_bwd32(
                     dq, qxh, qrs, qns_ref[0:1, :], Dh)

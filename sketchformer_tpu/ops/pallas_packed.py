@@ -52,12 +52,19 @@ LN_EPS = 1e-6
 NEG_INF = -1e9
 
 # Softmax/ds strategy for the TRAIN (save=True) packed path, read at trace
-# time. "seg4d": one segmented op stream over the 4D (NB, hpp, Tk, Tq)
-# view (measured best, see docs/PERF_TRAIN.md round 4). "chunk": round-3
-# per-chunk python loop. "mxu": segmented sums via indicator matmuls
-# (offloads the VPU reduce passes to the MXU). "ablate": timing probe
-# ONLY — replaces softmax/ds math with a scalar scale (wrong values).
-_TRAIN_SOFTMAX = os.environ.get("SK_PACKED_SOFTMAX", "seg4d")
+# time. "fused": keep the UNNORMALIZED exp pane e and the per-chunk
+# reciprocal denominators r as the residuals — the probability pane is
+# materialized exactly ONCE (as the bf16 p_dt the context dot needs,
+# reused by bwd's dV dot), and bwd's softmax-backward runs directly on
+# (e, r): ds = e*(dp - r*<dp,e>)*r*scale. Removes one full-pane f32
+# normalize and one full-pane f32->bf16 cast per group vs "seg4d"
+# (round-4 verdict item 2; measured on-chip, docs/PERF_TRAIN.md round 5).
+# "seg4d": round-4 best — one segmented op stream over the 4D
+# (NB, hpp, Tk, Tq) view. "chunk": round-3 per-chunk python loop. "mxu":
+# segmented sums via indicator matmuls (offloads the VPU reduce passes
+# to the MXU). "ablate": timing probe ONLY — replaces softmax/ds math
+# with a scalar scale (wrong values).
+_TRAIN_SOFTMAX = os.environ.get("SK_PACKED_SOFTMAX", "fused")
 
 # Timing-only component ablations for the packed TRAIN path (comma list;
 # values become WRONG — never set outside tools/ probes). Members:
@@ -66,6 +73,24 @@ _TRAIN_SOFTMAX = os.environ.get("SK_PACKED_SOFTMAX", "seg4d")
 # h8-train component ladder (docs/PERF_TRAIN.md round 4).
 _ABLATE = frozenset(
     s for s in os.environ.get("SK_PACKED_ABLATE", "").split(",") if s)
+
+# Guard against env leakage from tools/ probe runs into production
+# processes: any wrong-values mode must be explicitly acknowledged, and
+# even then it screams (ADVICE r4, medium).
+if _ABLATE or _TRAIN_SOFTMAX == "ablate":
+    if os.environ.get("SK_PACKED_ABLATE_ACK") != "1":
+        raise RuntimeError(
+            "SK_PACKED_ABLATE / SK_PACKED_SOFTMAX=ablate replace packed "
+            "attention math with WRONG values (timing probes only). Set "
+            "SK_PACKED_ABLATE_ACK=1 to acknowledge, or unset the ablation "
+            f"vars (ablate={sorted(_ABLATE)}, softmax={_TRAIN_SOFTMAX!r}).")
+    import warnings as _warnings
+
+    _warnings.warn(
+        "pallas_packed ABLATION ACTIVE: forward values and gradients are "
+        f"WRONG (ablate={sorted(_ABLATE)}, softmax={_TRAIN_SOFTMAX!r}); "
+        "timing probes only",
+        stacklevel=2)
 
 
 def packed_supported(d_model: int, num_heads: int) -> bool:
@@ -167,9 +192,24 @@ def group_attn_fwd(q, k, v, *, dh, scale, dt, bias=None, causal=None,
         kt = expand_blockdiag(k, dh)
         vt = expand_blockdiag(v, dh)
         s = _bdot(kt, q, _C22) * scale        # (NB, hpp*Tk, Tq) f32
+        if _TRAIN_SOFTMAX == "fused":
+            NB, K, Tq = s.shape
+            s4 = s.reshape(NB, hpp, tk, Tq)
+            if causal is not None:
+                s4 = s4 + jnp.swapaxes(causal, 1, 2)[:, None]
+            if bias is not None:
+                s4 = s4 + jnp.swapaxes(bias, 1, 2)[:, None]
+            m = jnp.max(s4, axis=2, keepdims=True)     # (NB, hpp, 1, Tq)
+            e4 = jnp.exp(s4 - m)
+            r = 1.0 / jnp.sum(e4, axis=2, keepdims=True)
+            # the ONLY materialization of the probability pane — bf16,
+            # shared by this context dot and bwd's dV dot
+            p_dt = (e4 * r).reshape(NB, K, Tq).astype(dt)
+            o = _bdot(p_dt, vt, _C11)         # (NB, Tq, 128) f32
+            return o, ("fused", kt, vt, e4, r, p_dt)
         p = _seg_softmax(s, hpp, tk, causal=causal, bias=bias)
         o = _bdot(p.astype(dt), vt, _C11)     # (NB, Tq, 128) f32
-        return o, (kt, vt, p)
+        return o, ("p", kt, vt, p)
 
     # Inference: STREAM the hpp head chunks in q-major orientation —
     # chunk h masks K/V to head-block h's lanes (q is used unmasked: the
@@ -290,18 +330,35 @@ def _seg_ds(p, dp, hpp, tk):
     return p * (dp - _bdot(segtb, inner, _C21))
 
 
-def group_attn_bwd(do, q, kt, vt, p, *, dh, scale, dt):
-    """Backward for group_attn_fwd. ``do``: (NB, Tq, 128) f32 upstream.
+def group_attn_bwd(do, q, res, *, dh, scale, dt):
+    """Backward for group_attn_fwd(save=True). ``do``: (NB, Tq, 128) f32
+    upstream; ``res``: the opaque residual tuple group_attn_fwd returned.
     Returns (dq, dk, dv) as (NB, Tq, 128) / (NB, Tk, 128) f32 panes
     (callers slice off cross-memory padding rows if any)."""
     hpp = 128 // dh
+    kt, vt = res[1], res[2]
     tk = kt.shape[1] // hpp
-    dp = _bdot(vt, do.astype(dt), _C22)       # (NB, hpp*Tk, Tq) f32
-    ds = _seg_ds(p, dp, hpp, tk) * scale
-    ds_lp = ds.astype(dt)
+    do_dt = do.astype(dt)
+    dp = _bdot(vt, do_dt, _C22)               # (NB, hpp*Tk, Tq) f32
+    if res[0] == "fused":
+        _, _, _, e4, r, p_dt = res
+        NB, K, Tq = dp.shape
+        dp4 = dp.reshape(NB, hpp, tk, Tq)
+        # ds = p*(dp - <dp, p>_chunk)*scale with p = e*r, refactored so
+        # the f32 probability pane never materializes: the inner product
+        # runs on e (rescaled by r afterwards, same value to rounding)
+        # and the final combine folds r*scale into one broadcast factor
+        ie = jnp.sum(dp4 * e4, axis=2, keepdims=True)   # (NB, hpp, 1, Tq)
+        ds4 = e4 * (dp4 - r * ie) * (r * scale)
+        ds_lp = ds4.reshape(NB, K, Tq).astype(dt)
+        dvt = _bdot(p_dt, do_dt, _C21)        # reuses the fwd's bf16 pane
+    else:
+        p = res[3]
+        ds = _seg_ds(p, dp, hpp, tk) * scale
+        ds_lp = ds.astype(dt)
+        dvt = _bdot(p.astype(dt), do_dt, _C21)
     dq = _bdot(ds_lp, kt, _C11)               # (NB, Tq, 128) f32
     dkt = _bdot(ds_lp, q.astype(dt), _C21)    # (NB, hpp*Tk, 128) f32
-    dvt = _bdot(p.astype(dt), do.astype(dt), _C21)
     dk = collapse_blockdiag(dkt, dh, tk)
     dv = collapse_blockdiag(dvt, dh, tk)
     return dq, dk, dv

@@ -203,9 +203,10 @@ def test_train_stack_packed_small_heads(qk_norm):
 
 
 def test_packed_softmax_variants_agree(monkeypatch):
-    """The SK_PACKED_SOFTMAX strategies (chunk / seg4d / mxu) are pure
-    scheduling choices — fwd values, input grads, and weight grads must
-    agree to f32 rounding (round-4 packed-bwd VPU work)."""
+    """The SK_PACKED_SOFTMAX strategies (chunk / seg4d / mxu / fused) are
+    pure scheduling choices — fwd values, input grads, and weight grads
+    must agree to f32 rounding (round-4 packed-bwd VPU work; round-5
+    fused e/r residual path)."""
     from sketchformer_tpu.ops import pallas_packed as pk
 
     enc, params, x, km = _setup(T=16, d=128, H=8, dff=64, qk_norm=True)
@@ -217,7 +218,7 @@ def test_packed_softmax_variants_agree(monkeypatch):
             argnums=(0, 1))(params, x)
 
     base_v, base_g = run("chunk")
-    for variant in ("seg4d", "mxu"):
+    for variant in ("seg4d", "mxu", "fused"):
         v, g = run(variant)
         np.testing.assert_allclose(float(v), float(base_v), rtol=1e-6)
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(base_g)):
