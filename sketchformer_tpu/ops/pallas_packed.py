@@ -52,19 +52,22 @@ LN_EPS = 1e-6
 NEG_INF = -1e9
 
 # Softmax/ds strategy for the TRAIN (save=True) packed path, read at trace
-# time. "fused": keep the UNNORMALIZED exp pane e and the per-chunk
-# reciprocal denominators r as the residuals — the probability pane is
-# materialized exactly ONCE (as the bf16 p_dt the context dot needs,
-# reused by bwd's dV dot), and bwd's softmax-backward runs directly on
-# (e, r): ds = e*(dp - r*<dp,e>)*r*scale. Removes one full-pane f32
-# normalize and one full-pane f32->bf16 cast per group vs "seg4d"
-# (round-4 verdict item 2; measured on-chip, docs/PERF_TRAIN.md round 5).
-# "seg4d": round-4 best — one segmented op stream over the 4D
+# time. "fused2": the probability pane is materialized exactly once, in
+# the COMPUTE dtype, and is the ONLY score-shaped residual — bwd upcasts
+# it for softmax-backward (the faithful VJP of the forward that was
+# actually computed, whose context dot consumes the bf16 pane) and
+# reuses it directly for the dV dot. Minimum live-VMEM variant: one bf16
+# score pane per group vs seg4d's f32 pane or "fused"'s f32+bf16 pair.
+# "fused": keep the UNNORMALIZED exp pane e and the per-chunk reciprocal
+# denominators r as f32 residuals alongside the bf16 p; bwd's
+# softmax-backward runs on (e, r): ds = e*(dp - r*<dp,e>)*r*scale.
+# (round-4 verdict item 2; both measured on-chip, docs/PERF_TRAIN.md
+# round 5.) "seg4d": round-4 best — one segmented op stream over the 4D
 # (NB, hpp, Tk, Tq) view. "chunk": round-3 per-chunk python loop. "mxu":
 # segmented sums via indicator matmuls (offloads the VPU reduce passes
 # to the MXU). "ablate": timing probe ONLY — replaces softmax/ds math
 # with a scalar scale (wrong values).
-_TRAIN_SOFTMAX = os.environ.get("SK_PACKED_SOFTMAX", "fused")
+_TRAIN_SOFTMAX = os.environ.get("SK_PACKED_SOFTMAX", "fused2")
 
 # Timing-only component ablations for the packed TRAIN path (comma list;
 # values become WRONG — never set outside tools/ probes). Members:
@@ -192,7 +195,7 @@ def group_attn_fwd(q, k, v, *, dh, scale, dt, bias=None, causal=None,
         kt = expand_blockdiag(k, dh)
         vt = expand_blockdiag(v, dh)
         s = _bdot(kt, q, _C22) * scale        # (NB, hpp*Tk, Tq) f32
-        if _TRAIN_SOFTMAX == "fused":
+        if _TRAIN_SOFTMAX in ("fused", "fused2"):
             NB, K, Tq = s.shape
             s4 = s.reshape(NB, hpp, tk, Tq)
             if causal is not None:
@@ -206,6 +209,11 @@ def group_attn_fwd(q, k, v, *, dh, scale, dt, bias=None, causal=None,
             # shared by this context dot and bwd's dV dot
             p_dt = (e4 * r).reshape(NB, K, Tq).astype(dt)
             o = _bdot(p_dt, vt, _C11)         # (NB, Tq, 128) f32
+            if _TRAIN_SOFTMAX == "fused2":
+                # e4/r die here: the compute-dtype pane is the one
+                # score-shaped residual that stays live across the
+                # kernel's FFN-backward phase
+                return o, ("fused2", kt, vt, p_dt)
             return o, ("fused", kt, vt, e4, r, p_dt)
         p = _seg_softmax(s, hpp, tk, causal=causal, bias=bias)
         o = _bdot(p.astype(dt), vt, _C11)     # (NB, Tq, 128) f32
@@ -340,7 +348,20 @@ def group_attn_bwd(do, q, res, *, dh, scale, dt):
     tk = kt.shape[1] // hpp
     do_dt = do.astype(dt)
     dp = _bdot(vt, do_dt, _C22)               # (NB, hpp*Tk, Tq) f32
-    if res[0] == "fused":
+    if res[0] == "fused2":
+        p_dt = res[3]
+        NB, K, Tq = dp.shape
+        # softmax-backward on the upcast compute-dtype pane — the
+        # faithful VJP of the forward that actually ran (its context dot
+        # consumed this exact pane); on f32 backends the cast is free
+        # and the math is bit-identical to seg4d
+        p4 = p_dt.astype(jnp.float32).reshape(NB, hpp, tk, Tq)
+        dp4 = dp.reshape(NB, hpp, tk, Tq)
+        inner = jnp.sum(dp4 * p4, axis=2, keepdims=True)
+        ds4 = p4 * (dp4 - inner) * scale
+        ds_lp = ds4.reshape(NB, K, Tq).astype(dt)
+        dvt = _bdot(p_dt, do_dt, _C21)        # reuses the fwd's bf16 pane
+    elif res[0] == "fused":
         _, _, _, e4, r, p_dt = res
         NB, K, Tq = dp.shape
         dp4 = dp.reshape(NB, hpp, tk, Tq)

@@ -203,7 +203,7 @@ def test_train_stack_packed_small_heads(qk_norm):
 
 
 def test_packed_softmax_variants_agree(monkeypatch):
-    """The SK_PACKED_SOFTMAX strategies (chunk / seg4d / mxu / fused) are
+    """The SK_PACKED_SOFTMAX strategies (chunk / seg4d / mxu / fused / fused2) are
     pure scheduling choices — fwd values, input grads, and weight grads
     must agree to f32 rounding (round-4 packed-bwd VPU work; round-5
     fused e/r residual path)."""
@@ -218,7 +218,7 @@ def test_packed_softmax_variants_agree(monkeypatch):
             argnums=(0, 1))(params, x)
 
     base_v, base_g = run("chunk")
-    for variant in ("seg4d", "mxu", "fused"):
+    for variant in ("seg4d", "mxu", "fused", "fused2"):
         v, g = run(variant)
         np.testing.assert_allclose(float(v), float(base_v), rtol=1e-6)
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(base_g)):

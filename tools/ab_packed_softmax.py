@@ -44,9 +44,9 @@ def main(argv):
     # softmax strategies plus timing-only component ablations
     # (abl:softmax / abl:qknorm / abl:blockdiag / abl:all — values wrong,
     # ladder probes for docs/PERF_TRAIN.md round 4)
-    known = ("chunk", "seg4d", "mxu", "fused", "ablate",
+    known = ("chunk", "seg4d", "mxu", "fused", "fused2", "ablate",
              "abl:softmax", "abl:qknorm", "abl:blockdiag", "abl:all")
-    variants = [a for a in argv if a in known] or ["chunk", "seg4d", "mxu", "fused"]
+    variants = [a for a in argv if a in known] or ["chunk", "seg4d", "mxu", "fused", "fused2"]
 
     from sketchformer_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
