@@ -68,10 +68,19 @@ def _batches_per_cell(
 ) -> int:
     """Group whole batch elements (H heads each) per grid cell so the grid
     is small enough that per-cell overhead amortizes, while q/k/v/o panes
-    (input dtype) + f32 score panes stay within the VMEM budget."""
+    (input dtype) + f32 score panes stay within the VMEM budget.
+
+    Accounting is LANE-PADDING-AWARE: Mosaic rounds the minor dim of every
+    VMEM pane to 128 lanes, so a Dh=32 head pane costs 4x its logical
+    size and a T=96 score pane costs 4/3. Round-4 code estimated logical
+    sizes; at (B=1024, H=8, Dh=32) the resulting NB=8 cell compiled to a
+    16.55 MB scoped allocation against Mosaic's 16 MB stack limit
+    (double-buffered input panes) and the whole program failed to build."""
+    d_p = ((D + 127) // 128) * 128
+    tk_p = ((Tk + 127) // 128) * 128
     per_batch = (
-        H * 2 * (Tq + Tk) * D * itemsize          # q+o, k+v panes
-        + n_score_panes * H * Tq * Tk * 4         # s, e in f32
+        H * 2 * (Tq + Tk) * d_p * itemsize        # q+o, k+v panes
+        + n_score_panes * H * Tq * tk_p * 4       # s, e in f32
     )
     nb = max(1, budget // max(per_batch, 1))
     while nb > 1 and B % nb:
@@ -178,6 +187,10 @@ def _fwd(q, k, v, bias, causal, mask_mode, H):
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=_use_interpret(),
+        # headroom for Mosaic's double-buffered input panes: the budget
+        # bounds one cell's live panes, the pipeline keeps ~2x in flight
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * Tq * Tk * D,
             bytes_accessed=(q.size + 2 * k.size) * q.dtype.itemsize,
@@ -245,6 +258,8 @@ def _bwd_call(q, k, v, bias, g, causal, mask_mode, H):
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ),
         interpret=_use_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(q, k, v, bias, g)
 
 
