@@ -84,7 +84,15 @@ def embed_dataset(
     the host->device copy of batch N+1 overlaps batch N's encode — on the
     remote-PJRT link the synchronous upload otherwise serializes with
     both the encode and the z fetch. label/is_real stay host-side (they
-    are only consumed as numpy)."""
+    are only consumed as numpy).
+
+    Readback is PIPELINED too: ``np.asarray(z)`` right after the dispatch
+    would block the host on the remote link's round-trip before batch
+    N+1 could even be issued — measured 500 ms/batch end-to-end against
+    a 12.7 ms encode (4.1k sk/s over a 98k gallery). Instead the z
+    arrays ride a small in-flight queue (readback started eagerly where
+    the backend supports it) and are materialized two batches behind, so
+    device compute, D2H streaming, and the host pipeline overlap."""
     from collections import deque
 
     from sketchformer_tpu.data.prefetch import device_prefetch
@@ -106,16 +114,30 @@ def embed_dataset(
             yield d
 
     zs, labels = [], []
+    inflight: deque = deque()    # (z on device, label, is_real)
+
+    def drain_one():
+        z_dev, lab, is_real = inflight.popleft()
+        z = np.asarray(z_dev)
+        if is_real is not None:
+            keep = np.asarray(is_real) > 0.5
+            z, lab = z[keep], lab[keep]
+        zs.append(z)
+        labels.append(lab)
+
     for dev in device_prefetch(device_part(), depth=2):
         lab, is_real = host_parts.popleft()
         if cont:
             z = embed(params, dev["enc"], dev["enc_mask"])
         else:
             z = embed(params, dev["enc"])
-        z = np.asarray(z)
-        if is_real is not None:
-            keep = np.asarray(is_real) > 0.5
-            z, lab = z[keep], lab[keep]
-        zs.append(z)
-        labels.append(lab)
+        try:
+            z.copy_to_host_async()
+        except AttributeError:   # non-jax array (interpret/test fakes)
+            pass
+        inflight.append((z, lab, is_real))
+        if len(inflight) >= 3:
+            drain_one()
+    while inflight:
+        drain_one()
     return np.concatenate(zs, axis=0), np.concatenate(labels, axis=0)
