@@ -67,6 +67,14 @@ def _value(x) -> float:
 
 def main() -> None:
     import jax
+
+    # this image bakes JAX_PLATFORMS=axon via its site hook, which wins
+    # over a plain env override; honor an explicit CPU retarget the same
+    # way tests/conftest.py does so `JAX_PLATFORMS=cpu python bench.py`
+    # actually runs on CPU instead of dialing the tunnel
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     # persistent executable cache: some workers' remote-compile link is
@@ -138,6 +146,56 @@ def main() -> None:
     def emit():
         extras["bench_elapsed_s"] = round(elapsed(), 1)
         print(json.dumps(result), flush=True)
+
+    # --- remote-link health probes ---------------------------------------
+    # The axon tunnel's round-trip latency is volatile (measured this
+    # round: tiny-RTT goes from ~ms to 50ms-seconds, and it can hang
+    # outright in futex waits). Latency-dominated sections (embed
+    # pipeline, realistic decode, per-step train uploads) silently absorb
+    # that into their numbers, so every section records the tiny-RTT it
+    # started under, and the latency-critical ones wait for recovery /
+    # skip instead of publishing link noise as a regression.
+
+    import threading
+
+    LINK_DEGRADED_MS = 25.0
+
+    def _rtt_once(i: float) -> float:
+        a = np.full((8, 128), i, np.float32)
+        t0 = time.perf_counter()
+        d = jnp.asarray(a)
+        np.asarray(d * 2.0)  # upload + tiny dispatch + fetch round trip
+        return (time.perf_counter() - t0) * 1e3
+
+    def link_rtt_ms(timeout_s: float = 15.0) -> float:
+        """min-of-5 tiny round trips, run in a daemon thread so a HUNG
+        tunnel reads as inf instead of blocking the bench forever."""
+        out = []
+
+        def run():
+            try:
+                _rtt_once(-1.0)  # warm the tiny program
+                base = elapsed()  # distinct values: no runtime result reuse
+                out.append(min(
+                    _rtt_once(base + float(i)) for i in range(5)))
+            except Exception:  # noqa: BLE001 — any failure == unhealthy
+                pass
+
+        th = threading.Thread(target=run, daemon=True)
+        th.start()
+        th.join(timeout_s)
+        return round(out[0], 2) if out else float("inf")
+
+    def wait_for_link(max_wait_s: float) -> float:
+        """Poll until the tiny-RTT drops below LINK_DEGRADED_MS or the
+        wait budget runs out; returns the last RTT (inf == hung)."""
+        t0 = time.monotonic()
+        rtt = link_rtt_ms()
+        while rtt > LINK_DEGRADED_MS and time.monotonic() - t0 < max_wait_s:
+            note(f"link degraded (tiny RTT {rtt} ms); waiting 20s")
+            time.sleep(20.0)
+            rtt = link_rtt_ms()
+        return rtt
 
     # --- shared measurement helpers --------------------------------------
 
@@ -395,10 +453,26 @@ def main() -> None:
     def sec_embed_pipeline():
         # product embed pipeline, end-to-end over a disk gallery: shard
         # read -> C tokenize -> pad -> wire -> device -> z fetch ->
-        # is_real filter (tools/bench_embed_pipeline.py)
+        # is_real filter (tools/bench_embed_pipeline.py). Transfer-
+        # latency-dominated: measured 39k sk/s on a healthy link vs 3.8k
+        # on a degraded one, same code — so re-measure once if the first
+        # attempt is implausibly low and budget allows.
         from tools.bench_embed_pipeline import measure as embed_measure
 
-        extras.update(embed_measure(verbose=False))
+        first = embed_measure(verbose=False)
+        attempts = [first["embed_pipeline_sketches_per_sec"]]
+        best = first
+        if attempts[0] < 15_000 and remaining() > 120:
+            note(f"embed pipeline {attempts[0]:,.0f} sk/s looks "
+                 "link-degraded; re-measuring")
+            wait_for_link(min(90.0, remaining() - 60.0))
+            second = embed_measure(verbose=False)
+            attempts.append(second["embed_pipeline_sketches_per_sec"])
+            if attempts[1] > attempts[0]:
+                best = second
+        extras.update(best)
+        if len(attempts) > 1:
+            extras["embed_pipeline_attempts"] = attempts
 
     def sec_decode_realistic():
         # trained model, EOS early exit: decode_p50_ms above is the
@@ -417,8 +491,28 @@ def main() -> None:
             extras["skipped"].append("decode_realistic (training cap)")
             return
         ks = (8, 16, 32) if remaining() > 180 else (16,)
-        extras.update(decode_measure(mdl_t, params_t, val_t,
-                                     ks=ks, verbose=False))
+        out = decode_measure(mdl_t, params_t, val_t, ks=ks, verbose=False)
+        # early exit strictly reduces device work, so realistic p50 far
+        # above the fixed-horizon p50 is physically impossible on a
+        # healthy link — that signature means the per-decode host fetch
+        # absorbed degraded-link round trips. Re-measure once.
+        key = f"decode_p50_ms_realistic_K{ks[min(1, len(ks) - 1)]}"
+        floor = extras.get("decode_p50_ms", 60.0)
+        attempts = [out.get(key)]
+        if out.get(key, 0.0) > 3.0 * floor and remaining() > 180:
+            note(f"realistic decode {out[key]} ms >> fixed-horizon "
+                 f"{floor} ms; link-degraded, re-measuring")
+            wait_for_link(min(90.0, remaining() - 90.0))
+            retry = decode_measure(mdl_t, params_t, val_t,
+                                   ks=ks, verbose=False)
+            attempts.append(retry.get(key))
+            if retry.get(key, float("inf")) < out[key]:
+                out = retry
+        extras.update(out)
+        if len(attempts) > 1:
+            extras["decode_realistic_attempts"] = attempts
+            extras["decode_realistic_degraded"] = (
+                out.get(key, 0.0) > 3.0 * floor)
 
     # (name, cold-worker cost estimate in seconds, fn). Estimates assume a
     # slow remote-compile link (30-90 s/program, utils/compile_cache.py);
@@ -441,12 +535,28 @@ def main() -> None:
     if not on_tpu:
         sections = sections[:2]
 
+    # sections whose NUMBER is dominated by per-batch host round trips
+    # (everything else is marginal-scan or device-bound): wait for a
+    # healthy link before measuring, skip if the tunnel is hung outright
+    LATENCY_CRITICAL = {"embed_pipeline", "decode_realistic"}
+    extras["link_rtt_ms"] = {"start": link_rtt_ms()}
+
     for name, est, fn in sections:
         if remaining() < 0.5 * est:
             note(f"skip {name}: {remaining():.0f}s left < {est}s estimate")
             extras["skipped"].append(name)
             continue
-        note(f"section {name} (est {est}s, {remaining():.0f}s left)")
+        rtt = link_rtt_ms()
+        if name in LATENCY_CRITICAL and rtt > LINK_DEGRADED_MS:
+            rtt = wait_for_link(min(120.0, max(0.0, remaining() - est)))
+            if rtt == float("inf"):
+                note(f"skip {name}: tunnel hung (tiny-RTT probe timed out)")
+                extras["skipped"].append(f"{name} (link hung)")
+                emit()
+                continue
+        extras["link_rtt_ms"][name] = rtt
+        note(f"section {name} (est {est}s, {remaining():.0f}s left, "
+             f"link RTT {rtt} ms)")
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — record, keep artifact valid
