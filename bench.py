@@ -65,6 +65,68 @@ def _value(x) -> float:
     return float(np.asarray(x).ravel()[0])
 
 
+# --- remote-link health probes ---------------------------------------------
+# The axon tunnel's round-trip latency is volatile (measured this round:
+# tiny-RTT goes from ~ms to 50ms-seconds, and it can hang outright in futex
+# waits — sometimes before the first device op, which used to stall the whole
+# bench silently). Latency-dominated sections (embed pipeline, realistic
+# decode, per-step train uploads) silently absorb degradation into their
+# numbers. So: the bench waits for a healthy link BEFORE first device use,
+# every section records the tiny-RTT it started under, and the
+# latency-critical sections wait for recovery / skip instead of publishing
+# link noise as a regression.
+
+# calibrated on-chip round 5: this link's HEALTHY tiny-RTT floor is ~25 ms
+# (headline encode measured its usual 158k sk/s at tiny-RTT 24-29 ms);
+# degraded states measured 100ms-seconds or hang (inf)
+LINK_DEGRADED_MS = 75.0
+
+
+def _rtt_once(i: float) -> float:
+    import jax.numpy as jnp
+
+    a = np.full((8, 128), i, np.float32)
+    t0 = time.perf_counter()
+    d = jnp.asarray(a)
+    np.asarray(d * 2.0)  # upload + tiny dispatch + fetch round trip
+    return (time.perf_counter() - t0) * 1e3
+
+
+def link_rtt_ms(timeout_s: float = 15.0) -> float:
+    """min-of-5 tiny round trips, run in a daemon thread so a HUNG tunnel
+    reads as inf instead of blocking the bench forever."""
+    import threading
+
+    out = []
+
+    def run():
+        try:
+            _rtt_once(-1.0)  # warm the tiny program
+            base = elapsed()  # distinct values: no runtime result reuse
+            out.append(min(_rtt_once(base + float(i)) for i in range(5)))
+        except Exception:  # noqa: BLE001 — any failure == unhealthy
+            pass
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    return round(out[0], 2) if out else float("inf")
+
+
+def wait_for_link(max_wait_s: float, poll_s: float = 20.0) -> float:
+    """Poll until the tiny-RTT drops below LINK_DEGRADED_MS or the wait
+    budget runs out; returns the last RTT (inf == hung). The tunnel
+    self-heals on a minutes scale, so bounded waiting beats both hanging
+    and giving up."""
+    t0 = time.monotonic()
+    rtt = link_rtt_ms()
+    while rtt > LINK_DEGRADED_MS and time.monotonic() - t0 < max_wait_s:
+        note(f"link degraded (tiny RTT {rtt} ms); waiting {poll_s:.0f}s")
+        time.sleep(poll_s)
+        rtt = link_rtt_ms()
+    return rtt
+
+
 def main() -> None:
     import jax
 
@@ -94,6 +156,22 @@ def main() -> None:
     jax.config.update("jax_default_prng_impl", "rbg")
 
     on_tpu = jax.default_backend() == "tpu"
+    start_rtt = None
+    if on_tpu:
+        # the tunnel can be hung at process start; wait (bounded, visibly)
+        # for it to self-heal instead of stalling silently before the
+        # first note ever prints. The wait is NOT measurement time: the
+        # budget clock restarts after it, so a long heal doesn't starve
+        # the tail sections (total wall stays bounded by wait cap +
+        # BUDGET_S, comfortably inside the driver's kill window).
+        global T_START
+        note("probing tunnel health before first device use")
+        start_rtt = wait_for_link(min(600.0, BUDGET_S / 2), poll_s=30.0)
+        waited = elapsed()
+        if waited > 60.0:
+            note(f"tunnel heal wait {waited:.0f}s excluded from budget")
+            T_START = time.monotonic()
+        note(f"tunnel tiny-RTT {start_rtt} ms")
     SEQ = 96          # typical RDP-simplified QuickDraw token length bucket
     ENC_BATCH = 2048 if on_tpu else 64
     DEC_BATCH = 64
@@ -146,56 +224,6 @@ def main() -> None:
     def emit():
         extras["bench_elapsed_s"] = round(elapsed(), 1)
         print(json.dumps(result), flush=True)
-
-    # --- remote-link health probes ---------------------------------------
-    # The axon tunnel's round-trip latency is volatile (measured this
-    # round: tiny-RTT goes from ~ms to 50ms-seconds, and it can hang
-    # outright in futex waits). Latency-dominated sections (embed
-    # pipeline, realistic decode, per-step train uploads) silently absorb
-    # that into their numbers, so every section records the tiny-RTT it
-    # started under, and the latency-critical ones wait for recovery /
-    # skip instead of publishing link noise as a regression.
-
-    import threading
-
-    LINK_DEGRADED_MS = 25.0
-
-    def _rtt_once(i: float) -> float:
-        a = np.full((8, 128), i, np.float32)
-        t0 = time.perf_counter()
-        d = jnp.asarray(a)
-        np.asarray(d * 2.0)  # upload + tiny dispatch + fetch round trip
-        return (time.perf_counter() - t0) * 1e3
-
-    def link_rtt_ms(timeout_s: float = 15.0) -> float:
-        """min-of-5 tiny round trips, run in a daemon thread so a HUNG
-        tunnel reads as inf instead of blocking the bench forever."""
-        out = []
-
-        def run():
-            try:
-                _rtt_once(-1.0)  # warm the tiny program
-                base = elapsed()  # distinct values: no runtime result reuse
-                out.append(min(
-                    _rtt_once(base + float(i)) for i in range(5)))
-            except Exception:  # noqa: BLE001 — any failure == unhealthy
-                pass
-
-        th = threading.Thread(target=run, daemon=True)
-        th.start()
-        th.join(timeout_s)
-        return round(out[0], 2) if out else float("inf")
-
-    def wait_for_link(max_wait_s: float) -> float:
-        """Poll until the tiny-RTT drops below LINK_DEGRADED_MS or the
-        wait budget runs out; returns the last RTT (inf == hung)."""
-        t0 = time.monotonic()
-        rtt = link_rtt_ms()
-        while rtt > LINK_DEGRADED_MS and time.monotonic() - t0 < max_wait_s:
-            note(f"link degraded (tiny RTT {rtt} ms); waiting 20s")
-            time.sleep(20.0)
-            rtt = link_rtt_ms()
-        return rtt
 
     # --- shared measurement helpers --------------------------------------
 
@@ -539,7 +567,8 @@ def main() -> None:
     # (everything else is marginal-scan or device-bound): wait for a
     # healthy link before measuring, skip if the tunnel is hung outright
     LATENCY_CRITICAL = {"embed_pipeline", "decode_realistic"}
-    extras["link_rtt_ms"] = {"start": link_rtt_ms()}
+    extras["link_rtt_ms"] = {
+        "start": start_rtt if start_rtt is not None else link_rtt_ms()}
 
     for name, est, fn in sections:
         if remaining() < 0.5 * est:
