@@ -82,6 +82,48 @@ def _value(x) -> float:
 LINK_DEGRADED_MS = 75.0
 
 
+def _subprocess_probe(timeout_s: float = 60.0) -> str:
+    """Probe tunnel health from a SHORT-LIVED child process: 'ok',
+    'timeout' (wedged — child killed, bench untouched), or 'error'.
+
+    Measured round 5: a client that dials the tunnel while it still holds
+    a dead client's session gets PERMANENTLY wedged (a 27-min hang that
+    never healed; 2 min after killing the wedged client, the tunnel was
+    healthy). In-process probes therefore can't gate the first
+    connection — the probe itself would wedge the bench. A child process
+    takes the risk instead; on timeout it is killed, the tunnel cleans up
+    its dead session in ~2 min, and a later probe tells the truth."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((64, 64)); "
+            "(x @ x).block_until_ready(); print('PROBE_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    return "ok" if "PROBE_OK" in (r.stdout or "") else "error"
+
+
+def wait_for_tunnel_via_subprocess(max_wait_s: float) -> str:
+    """Gate the bench's FIRST in-process device use: poll with child-
+    process probes until one succeeds ('ok'), the backend errors out
+    ('error' — e.g. TPU-less host, proceed and let jax resolve), or the
+    wait budget expires ('timeout')."""
+    t0 = time.monotonic()
+    while True:
+        verdict = _subprocess_probe()
+        if verdict != "timeout":
+            return verdict
+        if time.monotonic() - t0 > max_wait_s:
+            return "timeout"
+        note("tunnel wedged (subprocess probe killed); waiting 45s "
+             "for its session cleanup")
+        time.sleep(45.0)
+
+
 def _rtt_once(i: float) -> float:
     import jax.numpy as jnp
 
@@ -134,8 +176,23 @@ def main() -> None:
     # over a plain env override; honor an explicit CPU retarget the same
     # way tests/conftest.py does so `JAX_PLATFORMS=cpu python bench.py`
     # actually runs on CPU instead of dialing the tunnel
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    if want_cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # gate the first in-process connection on a subprocess probe —
+        # jax.default_backend() below already dials the tunnel, and a
+        # dial into a dirty tunnel wedges this process unrecoverably
+        # (see _subprocess_probe). Wait is NOT measurement time: the
+        # budget clock restarts after it.
+        global T_START
+        note("gating first device use on a subprocess tunnel probe")
+        verdict = wait_for_tunnel_via_subprocess(min(600.0, BUDGET_S / 2))
+        waited = elapsed()
+        if waited > 60.0:
+            note(f"tunnel heal wait {waited:.0f}s excluded from budget")
+            T_START = time.monotonic()
+        note(f"tunnel probe verdict: {verdict}")
 
     import jax.numpy as jnp
 
@@ -158,19 +215,9 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     start_rtt = None
     if on_tpu:
-        # the tunnel can be hung at process start; wait (bounded, visibly)
-        # for it to self-heal instead of stalling silently before the
-        # first note ever prints. The wait is NOT measurement time: the
-        # budget clock restarts after it, so a long heal doesn't starve
-        # the tail sections (total wall stays bounded by wait cap +
-        # BUDGET_S, comfortably inside the driver's kill window).
-        global T_START
-        note("probing tunnel health before first device use")
-        start_rtt = wait_for_link(min(600.0, BUDGET_S / 2), poll_s=30.0)
-        waited = elapsed()
-        if waited > 60.0:
-            note(f"tunnel heal wait {waited:.0f}s excluded from budget")
-            T_START = time.monotonic()
+        # first in-process connection happens here (gated above); record
+        # the tiny-RTT the run starts under
+        start_rtt = link_rtt_ms(timeout_s=60.0)
         note(f"tunnel tiny-RTT {start_rtt} ms")
     SEQ = 96          # typical RDP-simplified QuickDraw token length bucket
     ENC_BATCH = 2048 if on_tpu else 64
