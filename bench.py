@@ -45,7 +45,12 @@ import time
 import numpy as np
 
 T_START = time.monotonic()
-BUDGET_S = float(os.environ.get("SKETCHFORMER_BENCH_BUDGET_S", "1080"))
+# default sized for a warm worker with a healthy link (~14 min actual) plus
+# headroom for the tunnel's measured stall modes (a single section absorbed
+# 10 min of link stalls on 2026-08-20 with normal timed throughput); the
+# driver tolerated ~1 h in round 4, and the startup tunnel gate is excluded
+# from this budget, so worst case stays ~34 min
+BUDGET_S = float(os.environ.get("SKETCHFORMER_BENCH_BUDGET_S", "1500"))
 
 
 def elapsed() -> float:
@@ -186,6 +191,13 @@ def main() -> None:
         # (see _subprocess_probe). Wait is NOT measurement time: the
         # budget clock restarts after it.
         global T_START
+        n_reexec = int(os.environ.get("SKETCHFORMER_BENCH_REEXEC", "0"))
+        if n_reexec:
+            # the previous image's wedged connection just dropped with
+            # the exec; give the tunnel its ~2 min session cleanup
+            # before probing again
+            note(f"post-re-exec cooldown 120s (attempt {n_reexec})")
+            time.sleep(120.0)
         note("gating first device use on a subprocess tunnel probe")
         verdict = wait_for_tunnel_via_subprocess(min(600.0, BUDGET_S / 2))
         waited = elapsed()
@@ -219,6 +231,22 @@ def main() -> None:
         # the tiny-RTT the run starts under
         start_rtt = link_rtt_ms(timeout_s=60.0)
         note(f"tunnel tiny-RTT {start_rtt} ms")
+        if start_rtt == float("inf"):
+            # the dial wedged despite the gate (the tunnel wedges
+            # probabilistically on dial; measured: a wedged in-process
+            # connection never heals, but a FRESH process dials clean
+            # after ~2 min of tunnel cleanup). Re-exec: drops the wedged
+            # connection with the process image and re-enters the
+            # subprocess gate. Bounded by an env counter.
+            n = int(os.environ.get("SKETCHFORMER_BENCH_REEXEC", "0"))
+            if n < 3:
+                note(f"first dial wedged; re-exec fresh (attempt {n + 1}/3)")
+                os.environ["SKETCHFORMER_BENCH_REEXEC"] = str(n + 1)
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            note("first dial wedged, re-exec budget exhausted; "
+                 "proceeding (blocks until the tunnel heals)")
     SEQ = 96          # typical RDP-simplified QuickDraw token length bucket
     ENC_BATCH = 2048 if on_tpu else 64
     DEC_BATCH = 64
