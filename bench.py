@@ -553,69 +553,98 @@ def main() -> None:
         }
         extras["train_B1024_sketches_per_sec"] = timed_train(model, batch1k)
 
+    # fresh-subprocess measurement for the transfer-latency-dominated
+    # sections. Measured 2026-08-20: a remote session's BULK-RPC
+    # throughput degrades stochastically (per session, and within long
+    # sessions under sustained load) while tiny-RTT probes stay healthy —
+    # the same embed pipeline measured 39k sk/s in a fresh process and
+    # 3.8-5k inside this long-lived bench process, and in-process retries
+    # cannot escape a degraded session. A fresh child session per attempt
+    # can (established parent + dialing child verified to coexist).
+    import subprocess
+
+    REPO = os.path.dirname(os.path.abspath(__file__))
+
+    def run_tool_fresh(tool_path, timeout_s, env_extra=None):
+        """Run a tools/ script as a fresh subprocess; parse the last JSON
+        line of its stdout (None on timeout/parse failure)."""
+        env = dict(os.environ)
+        env.pop("SKETCHFORMER_BENCH_REEXEC", None)
+        if env_extra:
+            env.update(env_extra)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, tool_path), "--json"],
+                capture_output=True, text=True, timeout=timeout_s,
+                cwd=REPO, env=env)
+        except subprocess.TimeoutExpired:
+            return None
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            try:
+                return json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+        return None
+
     def sec_embed_pipeline():
         # product embed pipeline, end-to-end over a disk gallery: shard
         # read -> C tokenize -> pad -> wire -> device -> z fetch ->
-        # is_real filter (tools/bench_embed_pipeline.py). Transfer-
-        # latency-dominated: measured 39k sk/s on a healthy link vs 3.8k
-        # on a degraded one, same code — so re-measure once if the first
-        # attempt is implausibly low and budget allows.
-        from tools.bench_embed_pipeline import measure as embed_measure
-
-        first = embed_measure(verbose=False)
-        attempts = [first["embed_pipeline_sketches_per_sec"]]
-        best = first
-        if attempts[0] < 15_000 and remaining() > 120:
-            note(f"embed pipeline {attempts[0]:,.0f} sk/s looks "
-                 "link-degraded; re-measuring")
-            wait_for_link(min(90.0, remaining() - 60.0))
-            second = embed_measure(verbose=False)
-            attempts.append(second["embed_pipeline_sketches_per_sec"])
-            if attempts[1] > attempts[0]:
-                best = second
-        extras.update(best)
-        if len(attempts) > 1:
-            extras["embed_pipeline_attempts"] = attempts
+        # is_real filter (tools/bench_embed_pipeline.py), measured in a
+        # fresh subprocess per attempt; keep the best of up to 3
+        attempts, best = [], None
+        while len(attempts) < 3:
+            got = run_tool_fresh("tools/bench_embed_pipeline.py",
+                                 timeout_s=max(60.0, remaining() - 30.0))
+            rate = (got or {}).get("embed_pipeline_sketches_per_sec", 0.0)
+            attempts.append(rate)
+            if best is None or rate > best.get(
+                    "embed_pipeline_sketches_per_sec", 0.0):
+                best = got or best
+            if rate >= 15_000 or remaining() < 240:
+                break
+            note(f"embed pipeline attempt {len(attempts)}: {rate:,.0f} "
+                 "sk/s (degraded session); retrying fresh")
+        if best:
+            extras.update(best)
+        extras["embed_pipeline_attempts"] = attempts
 
     def sec_decode_realistic():
         # trained model, EOS early exit: decode_p50_ms above is the
         # fixed-horizon worst case (random weights never emit EOS). Model
         # comes from the committed deterministic recipe
-        # (tools/bench_decode_realistic.RECIPE), capped by wall clock.
-        from tools.bench_decode_realistic import (
-            get_trained_flagship,
-            measure as decode_measure,
-        )
-
-        cap = max(60.0, min(300.0, remaining() - 120.0))
-        mdl_t, params_t, val_t = get_trained_flagship(
-            max_seconds=cap, verbose=True)
-        if mdl_t is None:
-            extras["skipped"].append("decode_realistic (training cap)")
-            return
-        ks = (8, 16, 32) if remaining() > 180 else (16,)
-        out = decode_measure(mdl_t, params_t, val_t, ks=ks, verbose=False)
-        # early exit strictly reduces device work, so realistic p50 far
-        # above the fixed-horizon p50 is physically impossible on a
-        # healthy link — that signature means the per-decode host fetch
-        # absorbed degraded-link round trips. Re-measure once.
-        key = f"decode_p50_ms_realistic_K{ks[min(1, len(ks) - 1)]}"
+        # (tools/bench_decode_realistic.RECIPE; /tmp-cached by recipe
+        # hash, trained under a wall-clock cap on a cold worker). Runs in
+        # a fresh subprocess per attempt: early exit strictly reduces
+        # device work, so a realistic p50 far above the fixed-horizon p50
+        # is physically impossible — that signature means a degraded
+        # session absorbed the per-decode round trips; retry fresh.
         floor = extras.get("decode_p50_ms", 60.0)
-        attempts = [out.get(key)]
-        if out.get(key, 0.0) > 3.0 * floor and remaining() > 180:
-            note(f"realistic decode {out[key]} ms >> fixed-horizon "
-                 f"{floor} ms; link-degraded, re-measuring")
-            wait_for_link(min(90.0, remaining() - 90.0))
-            retry = decode_measure(mdl_t, params_t, val_t,
-                                   ks=ks, verbose=False)
-            attempts.append(retry.get(key))
-            if retry.get(key, float("inf")) < out[key]:
-                out = retry
-        extras.update(out)
-        if len(attempts) > 1:
-            extras["decode_realistic_attempts"] = attempts
+        key = "decode_p50_ms_realistic_K16"
+        attempts, best = [], None
+        while len(attempts) < 3:
+            cap = max(60.0, min(300.0, remaining() - 150.0))
+            got = run_tool_fresh(
+                "tools/bench_decode_realistic.py",
+                timeout_s=max(120.0, remaining() - 30.0),
+                env_extra={"SKETCHFORMER_REALISTIC_CAP_S": str(cap)})
+            p50 = (got or {}).get(key, float("inf"))
+            attempts.append(None if got is None else p50)
+            if got and (best is None
+                        or p50 < best.get(key, float("inf"))):
+                best = got
+            if p50 <= 3.0 * floor or remaining() < 300:
+                break
+            note(f"realistic decode attempt {len(attempts)}: {p50} ms >> "
+                 f"fixed-horizon {floor} ms (degraded session); "
+                 "retrying fresh")
+        if best is None:
+            extras["skipped"].append("decode_realistic (no attempt "
+                                     "completed within budget)")
+        else:
+            extras.update(best)
             extras["decode_realistic_degraded"] = (
-                out.get(key, 0.0) > 3.0 * floor)
+                best.get(key, 0.0) > 3.0 * floor)
+        extras["decode_realistic_attempts"] = attempts
 
     # (name, cold-worker cost estimate in seconds, fn). Estimates assume a
     # slow remote-compile link (30-90 s/program, utils/compile_cache.py);
@@ -638,10 +667,9 @@ def main() -> None:
     if not on_tpu:
         sections = sections[:2]
 
-    # sections whose NUMBER is dominated by per-batch host round trips
-    # (everything else is marginal-scan or device-bound): wait for a
-    # healthy link before measuring, skip if the tunnel is hung outright
-    LATENCY_CRITICAL = {"embed_pipeline", "decode_realistic"}
+    # per-section tiny-RTT diagnostics (the latency-fragile sections
+    # isolate themselves in fresh subprocesses; the probe here just
+    # records the parent session's state for artifact interpretation)
     extras["link_rtt_ms"] = {
         "start": start_rtt if start_rtt is not None else link_rtt_ms()}
 
@@ -651,13 +679,6 @@ def main() -> None:
             extras["skipped"].append(name)
             continue
         rtt = link_rtt_ms()
-        if name in LATENCY_CRITICAL and rtt > LINK_DEGRADED_MS:
-            rtt = wait_for_link(min(120.0, max(0.0, remaining() - est)))
-            if rtt == float("inf"):
-                note(f"skip {name}: tunnel hung (tiny-RTT probe timed out)")
-                extras["skipped"].append(f"{name} (link hung)")
-                emit()
-                continue
         extras["link_rtt_ms"][name] = rtt
         note(f"section {name} (est {est}s, {remaining():.0f}s left, "
              f"link RTT {rtt} ms)")

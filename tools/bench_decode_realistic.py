@@ -151,7 +151,11 @@ def get_trained_flagship(max_seconds: float = 300.0, verbose: bool = True):
         if cached is not None:
             if verbose:
                 _note(f"using cached trained params ({RECIPE_HASH})")
-            return model, cached, val
+            # device_put ONCE: numpy leaves would be re-uploaded through
+            # the remote link on EVERY decode call (measured: ~1.8 s/rep
+            # against a 41 ms decode — the params tree dominates), while
+            # freshly-trained params are already device-resident
+            return model, jax.device_put(cached), val
 
     from itertools import cycle
 
@@ -238,7 +242,10 @@ def main():
 
     enable_persistent_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
-    model, params, val = get_trained_flagship(max_seconds=900.0)
+    # bench.py runs this as a fresh subprocess (per-session bulk-RPC
+    # degradation isolation) and bounds the training leg via this env var
+    cap = float(os.environ.get("SKETCHFORMER_REALISTIC_CAP_S", "900"))
+    model, params, val = get_trained_flagship(max_seconds=cap)
     if model is None:
         _note("training did not complete within cap; no measurement")
         return

@@ -99,7 +99,16 @@ def main() -> None:
     from sketchformer_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    measure()
+    if "--json" in sys.argv:
+        # machine-readable mode (bench.py runs this tool as a fresh
+        # subprocess: the remote session's bulk-RPC throughput degrades
+        # stochastically per session, so a fresh session per measurement
+        # is the only reliable isolation)
+        import json
+
+        print(json.dumps(measure(verbose=False)), flush=True)
+    else:
+        measure()
 
 
 if __name__ == "__main__":
